@@ -1,0 +1,25 @@
+"""Test configuration: run everything on 8 virtual CPU devices.
+
+This is the standard fake-backend trick for testing pjit/shard_map/halo
+exchange without a TPU pod (SURVEY.md §4): XLA exposes 8 host devices, so the
+(data, sp) mesh and its collectives are exercised for real.
+
+Note: the environment's axon TPU plugin overrides the JAX_PLATFORMS env var,
+so the platform must be forced via jax.config after import.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: CPU compiles of the UNet graphs dominate
+# test wall time; cache them across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

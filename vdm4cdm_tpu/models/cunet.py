@@ -1,0 +1,256 @@
+"""CUNet — conditional 2D/3D UNet, the shared backbone for VDM and SFM.
+
+Re-implements (TPU-first, not a port) the capability surface of the reference's
+``mltools.networks.CUNet`` (SURVEY.md §2b; constructed at reference
+trainVDM3D_c_c_from_field_name_thick_lowbatch.py:116-127 and
+src/utils.py:451-462):
+
+  * dimensionality (2D/3D) inferred from ``shape=(C, *spatial)``;
+  * 4 channel widths ``chs`` with 3 down/up samplings;
+  * three conditioning channels:
+      s — spatial field, concatenated along channels at the input,
+      v — list of value vectors (e.g. 6 cosmological params), embedded and
+          summed into the time embedding,
+      t — continuous time/noise level in [0, 1];
+  * GroupNorm(norm_groups) + SiLU ResBlocks with FiLM (scale-shift) embedding
+    injection and dropout;
+  * optional 4-head self-attention at the bottleneck (``mid_attn``);
+  * "circular" (periodic box) or "zeros" convolution padding.
+
+TPU-native design choices (differ from any torch translation):
+  * channels-last layout (N, *spatial, C) — XLA's native conv layout;
+  * all spatial ops route through the sharding-aware ops layer, so the same
+    module runs single-chip or spatially sharded inside shard_map (the sharded
+    dim halo-exchanges over ICI; bottleneck attention all-gathers — it is tiny);
+  * float32 parameters with optional bfloat16 activations (MXU-friendly);
+  * final conv zero-initialized (standard diffusion practice).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv_nd
+from ..ops.norm import group_norm
+from ..ops.resample import downsample_conv, upsample_nearest
+from ..parallel.halo import (
+    NO_SHARD,
+    ShardCtx,
+    all_gather_spatial,
+    take_local_spatial,
+)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_freq: float = 1000.0) -> jnp.ndarray:
+    """Sinusoidal embedding of continuous t in [0, 1]. t: (B,) -> (B, dim)."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.linspace(0.0, jnp.log(max_freq), half))
+    ang = t[:, None].astype(jnp.float32) * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class _Conv(nn.Module):
+    """Parameter container for a sharding-aware conv (weights live in linen,
+    compute goes through ops.conv_nd)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding_mode: str = "zeros"
+    ctx: ShardCtx = NO_SHARD
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        nd = x.ndim - 2
+        kshape = (self.kernel_size,) * nd + (x.shape[-1], self.features)
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        w = self.param("kernel", init, kshape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.stride == 2:
+            return downsample_conv(x, w, b, padding_mode=self.padding_mode, ctx=self.ctx)
+        return conv_nd(x, w, b, stride=self.stride, padding_mode=self.padding_mode, ctx=self.ctx)
+
+
+class _GroupNorm(nn.Module):
+    groups: int
+    act: Optional[str] = None
+    ctx: ShardCtx = NO_SHARD
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, self.groups, act=self.act, ctx=self.ctx)
+
+
+class ResBlock(nn.Module):
+    """GroupNorm -> SiLU -> conv -> FiLM(emb) -> GroupNorm -> SiLU -> dropout
+    -> conv, with a (1x1-conv-projected) residual connection."""
+
+    features: int
+    norm_groups: int
+    dropout_prob: float
+    padding_mode: str
+    ctx: ShardCtx = NO_SHARD
+
+    @nn.compact
+    def __call__(self, x, emb, train: bool):
+        h = _GroupNorm(self.norm_groups, act="silu", ctx=self.ctx)(x)
+        h = _Conv(self.features, 3, padding_mode=self.padding_mode, ctx=self.ctx)(h)
+
+        if emb is not None:
+            film = nn.Dense(2 * self.features, name="film")(nn.silu(emb))
+            scale, shift = jnp.split(film, 2, axis=-1)
+            bshape = (h.shape[0],) + (1,) * (h.ndim - 2) + (self.features,)
+            h = _GroupNorm(self.norm_groups, ctx=self.ctx)(h)
+            h = h * (1.0 + scale.reshape(bshape).astype(h.dtype)) + shift.reshape(
+                bshape
+            ).astype(h.dtype)
+            h = nn.silu(h)
+        else:
+            h = _GroupNorm(self.norm_groups, act="silu", ctx=self.ctx)(h)
+
+        if self.dropout_prob > 0:
+            h = nn.Dropout(self.dropout_prob, deterministic=not train)(h)
+        h = _Conv(self.features, 3, padding_mode=self.padding_mode, ctx=self.ctx, zero_init=True)(h)
+
+        if x.shape[-1] != self.features:
+            x = _Conv(self.features, 1, ctx=self.ctx, name="skip_proj")(x)
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Full self-attention over all (gathered) spatial positions — used only at
+    the UNet bottleneck where the grid is tiny (reference ``mid_attn``,
+    ``n_attention_heads=4``)."""
+
+    num_heads: int
+    norm_groups: int
+    ctx: ShardCtx = NO_SHARD
+
+    @nn.compact
+    def __call__(self, x):
+        b, c = x.shape[0], x.shape[-1]
+        spatial = x.shape[1:-1]
+        h = _GroupNorm(self.norm_groups, ctx=self.ctx)(x)
+        h = all_gather_spatial(h, self.ctx)
+        full_spatial = h.shape[1:-1]
+        seq = h.reshape(b, -1, c)
+        head_dim = c // self.num_heads
+        qkv = nn.DenseGeneral((3, self.num_heads, head_dim), name="qkv")(seq)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jax.nn.dot_product_attention(q, k, v)
+        out = nn.DenseGeneral(c, axis=(-2, -1), name="proj",
+                              kernel_init=nn.initializers.zeros)(attn)
+        out = out.reshape(b, *full_spatial, c)
+        out = take_local_spatial(out, self.ctx)
+        return x + out.astype(x.dtype)
+
+
+class CUNet(nn.Module):
+    """See module docstring. ``shape`` is (C_out, *spatial) following the
+    reference's constructor (reference src/utils.py:450-462 exposes
+    ``score_model.shape`` for samplers — mirrored here)."""
+
+    shape: Tuple[int, ...]
+    chs: Sequence[int] = (48, 96, 192, 384)
+    s_conditioning_channels: int = 0
+    v_conditioning_dims: Sequence[int] = ()
+    t_conditioning: bool = True
+    norm_groups: int = 8
+    mid_attn: bool = False
+    n_attention_heads: int = 4
+    dropout_prob: float = 0.1
+    conv_padding_mode: str = "zeros"
+    num_res_blocks: int = 2
+    compute_dtype: jnp.dtype = jnp.float32
+    ctx: ShardCtx = NO_SHARD
+
+    @property
+    def ndim_spatial(self) -> int:
+        return len(self.shape) - 1
+
+    @nn.compact
+    def __call__(
+        self,
+        z: jnp.ndarray,
+        t: Optional[jnp.ndarray] = None,
+        s_conditioning: Optional[jnp.ndarray] = None,
+        v_conditionings: Sequence[jnp.ndarray] = (),
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """z: (B, *spatial, C); t: (B,) in [0,1]; s_conditioning: (B, *spatial,
+        Cs); v_conditionings: list of (B, dim_i). Returns (B, *spatial, C)."""
+        if self.s_conditioning_channels:
+            if s_conditioning is None:
+                raise ValueError("model expects s_conditioning")
+            assert s_conditioning.shape[-1] == self.s_conditioning_channels
+            z = jnp.concatenate([z, s_conditioning.astype(z.dtype)], axis=-1)
+        if len(v_conditionings) != len(self.v_conditioning_dims):
+            raise ValueError(
+                f"expected {len(self.v_conditioning_dims)} v_conditionings, "
+                f"got {len(v_conditionings)}"
+            )
+
+        x = z.astype(self.compute_dtype)
+        pm, ctx, ng = self.conv_padding_mode, self.ctx, self.norm_groups
+
+        # -- embeddings -------------------------------------------------------
+        emb_dim = self.chs[0] * 4
+        emb = None
+        if self.t_conditioning:
+            if t is None:
+                raise ValueError("model expects t conditioning")
+            temb = timestep_embedding(jnp.atleast_1d(t) * jnp.ones(x.shape[0]), self.chs[0])
+            temb = nn.Dense(emb_dim, name="t_dense0")(temb)
+            temb = nn.Dense(emb_dim, name="t_dense1")(nn.silu(temb))
+            emb = temb
+        for i, (v, d) in enumerate(zip(v_conditionings, self.v_conditioning_dims)):
+            assert v.shape[-1] == d, f"v_conditioning {i} dim {v.shape[-1]} != {d}"
+            vemb = nn.Dense(emb_dim, name=f"v_dense0_{i}")(v.astype(jnp.float32))
+            vemb = nn.Dense(emb_dim, name=f"v_dense1_{i}")(nn.silu(vemb))
+            emb = vemb if emb is None else emb + vemb
+
+        # -- encoder ----------------------------------------------------------
+        h = _Conv(self.chs[0], 3, padding_mode=pm, ctx=ctx, name="conv_in")(x)
+        skips = [h]
+        for level, ch in enumerate(self.chs):
+            for blk in range(self.num_res_blocks):
+                h = ResBlock(ch, ng, self.dropout_prob, pm, ctx,
+                             name=f"down_{level}_{blk}")(h, emb, train)
+                skips.append(h)
+            if level < len(self.chs) - 1:
+                h = _Conv(ch, 3, stride=2, padding_mode=pm, ctx=ctx,
+                          name=f"downsample_{level}")(h)
+                skips.append(h)
+
+        # -- bottleneck ---------------------------------------------------------
+        h = ResBlock(self.chs[-1], ng, self.dropout_prob, pm, ctx, name="mid_0")(h, emb, train)
+        if self.mid_attn:
+            h = AttentionBlock(self.n_attention_heads, ng, ctx, name="mid_attn")(h)
+        h = ResBlock(self.chs[-1], ng, self.dropout_prob, pm, ctx, name="mid_1")(h, emb, train)
+
+        # -- decoder ----------------------------------------------------------
+        for level, ch in reversed(list(enumerate(self.chs))):
+            for blk in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = ResBlock(ch, ng, self.dropout_prob, pm, ctx,
+                             name=f"up_{level}_{blk}")(h, emb, train)
+            if level > 0:
+                h = upsample_nearest(h)
+                h = _Conv(ch, 3, padding_mode=pm, ctx=ctx, name=f"upsample_{level}")(h)
+        assert not skips
+
+        h = _GroupNorm(ng, act="silu", ctx=ctx, name="norm_out")(h)
+        h = _Conv(self.shape[0], 3, padding_mode=pm, ctx=ctx, zero_init=True,
+                  name="conv_out")(h)
+        return h.astype(jnp.float32)

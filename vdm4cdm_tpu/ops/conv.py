@@ -1,0 +1,91 @@
+"""Sharding-aware N-D convolution (channels-last, TPU MXU path).
+
+The reference delegates all convs to cuDNN via torch (SURVEY.md §2d item 1;
+e.g. reference trainVDM3D_c_c_from_field_name_thick_lowbatch.py:116-127 builds
+a conv UNet with ``conv_padding_mode`` "circular" or "zeros"). Here convolution
+is XLA's ``conv_general_dilated`` — which tiles directly onto the MXU — wrapped
+with:
+
+  * explicit symmetric padding (torch Conv(k, s, p=k//2) semantics, so shapes
+    match the reference exactly for k=3, s in {1,2});
+  * circular ("wrap") padding for periodic simulation boxes;
+  * halo exchange over the sharded spatial dim (parallel/halo.py) instead of
+    local padding, so spatially sharded grids convolve correctly across shard
+    boundaries — including the periodic wraparound shard pair.
+
+Accumulation is always float32 (``preferred_element_type``) regardless of the
+activation dtype (bf16 compute supported).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..parallel.halo import NO_SHARD, ShardCtx, halo_exchange
+
+_SPATIAL_CHARS = "DHW"
+
+
+def _dim_numbers(nd: int):
+    sp = _SPATIAL_CHARS[-nd:]
+    return lax.conv_dimension_numbers(
+        (1,) * (nd + 2), (1,) * (nd + 2), (f"N{sp}C", f"{sp}IO", f"N{sp}C")
+    )
+
+
+def conv_nd(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int | Sequence[int] = 1,
+    padding_mode: str = "zeros",
+    ctx: ShardCtx = NO_SHARD,
+) -> jnp.ndarray:
+    """Convolve channels-last ``x`` (B, *spatial, Cin) with ``w`` (*k, Cin, Cout).
+
+    padding_mode: "zeros" | "circular". Padding per dim is the torch-style
+    symmetric (k//2, (k-1)//2) so stride-1 preserves size and stride-2 halves
+    even sizes — on every shard, at every mesh size.
+    """
+    nd = x.ndim - 2
+    ksizes = w.shape[:-2]
+    assert len(ksizes) == nd, f"kernel rank {len(ksizes)} != spatial rank {nd}"
+    if isinstance(stride, int):
+        stride = (stride,) * nd
+    pads = [(k // 2, (k - 1) // 2) for k in ksizes]
+    periodic = padding_mode == "circular"
+
+    conv_pads = list(pads)
+    if ctx.axis is not None:
+        # sharded dim: halo exchange replaces local padding
+        lo, hi = pads[ctx.spatial_dim]
+        x = halo_exchange(x, ctx, lo, hi, periodic=periodic)
+        conv_pads[ctx.spatial_dim] = (0, 0)
+        if periodic:
+            pad_width = [(0, 0)] * x.ndim
+            for d in range(nd):
+                if d != ctx.spatial_dim:
+                    pad_width[1 + d] = conv_pads[d]
+                    conv_pads[d] = (0, 0)
+            if any(p != (0, 0) for p in pad_width):
+                x = jnp.pad(x, pad_width, mode="wrap")
+    elif periodic:
+        pad_width = [(0, 0)] + list(conv_pads) + [(0, 0)]
+        x = jnp.pad(x, pad_width, mode="wrap")
+        conv_pads = [(0, 0)] * nd
+
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=stride,
+        padding=conv_pads,
+        dimension_numbers=_dim_numbers(nd),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out

@@ -1,0 +1,64 @@
+"""GroupNorm (+ fused activation), sharding-aware.
+
+The reference's ResBlocks use GroupNorm(8) + SiLU (SURVEY.md §2b CUNet row,
+``norm_groups=8`` at reference trainVDM3D_c_c_from_field_name_thick_lowbatch.py:61).
+Statistics reduce over all spatial positions and the channels of each group —
+under spatial sharding that is a cross-shard reduction, implemented as local
+moments + ``lax.psum`` over the ``sp`` mesh axis.
+
+A fused Pallas TPU kernel for the unsharded hot path lives in
+ops/pallas/groupnorm.py; this module is the XLA reference implementation and
+the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel.halo import NO_SHARD, ShardCtx
+
+
+def group_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    groups: int,
+    eps: float = 1e-6,
+    act: Optional[str] = None,
+    ctx: ShardCtx = NO_SHARD,
+) -> jnp.ndarray:
+    """x: (B, *spatial, C) channels-last; scale/bias: (C,).
+
+    act: None | "silu" (fused activation).
+    """
+    b = x.shape[0]
+    c = x.shape[-1]
+    assert c % groups == 0, f"channels {c} not divisible by groups {groups}"
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+
+    xg = xf.reshape(b, -1, groups, c // groups)  # (B, S_local, G, C/G)
+    s1 = jnp.sum(xg, axis=(1, 3))  # (B, G)
+    s2 = jnp.sum(xg * xg, axis=(1, 3))
+    count = xg.shape[1] * xg.shape[3]
+    if ctx.axis is not None:
+        s1 = jax.lax.psum(s1, ctx.axis)
+        s2 = jax.lax.psum(s2, ctx.axis)
+        count = count * ctx.axis_size()
+    mean = s1 / count
+    var = s2 / count - mean * mean
+
+    inv = jax.lax.rsqrt(var + eps)  # (B, G)
+    mean_c = jnp.repeat(mean, c // groups, axis=-1)  # (B, C)
+    inv_c = jnp.repeat(inv, c // groups, axis=-1)
+    shape_bc = (b,) + (1,) * (x.ndim - 2) + (c,)
+    out = (xf - mean_c.reshape(shape_bc)) * inv_c.reshape(shape_bc)
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    elif act is not None:
+        raise ValueError(f"unknown act {act!r}")
+    return out.astype(orig_dtype)

@@ -1,0 +1,184 @@
+"""Step-based training loop.
+
+Replaces the reference's Lightning Trainer stack (SURVEY.md §2b last row:
+max_steps=1e6, val every 1k/5k steps, grad clip 0.5, LR monitor, checkpoint
+every 10k keep-all — reference train_uc_uc_from_field_name.py:36-47) with a
+plain JAX loop: jitted/shard_mapped train step, async device feed, periodic
+validation + figure logging, orbax checkpoints, auto-resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.shard import batch_pspec
+from ..utils.rng import RngStream
+from .checkpoint import CheckpointManager
+from .loggers import ConsoleLogger, CSVLogger, Logger, MultiLogger
+from .state import TrainState, make_optimizer
+from .step import make_eval_step, make_train_step, model_ndim_spatial
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    max_steps: int = 1_000_000
+    val_check_interval: int = 5000
+    n_val_batches: int = 8
+    ckpt_every_steps: int = 10_000
+    log_every_steps: int = 50
+    learning_rate: float = 3.0e-4
+    grad_clip: float = 0.5
+    weight_decay: float = 0.0
+    warmup_steps: int = 0
+    seed: int = 42
+    out_dir: str = "./runs/run"
+    experiment_name: str = "run"
+    resume: bool = True
+    figure_interval: Optional[int] = None  # default: val_check_interval
+    n_figure_sampling_steps: int = 250
+
+
+class _DeviceFeeder:
+    """Moves host batches to device ahead of compute (1-deep pipeline)."""
+
+    def __init__(self, mesh: Optional[Mesh], ndim_spatial: int):
+        self.mesh = mesh
+        self.ndim_spatial = ndim_spatial
+
+    def put(self, batch: dict) -> dict:
+        if self.mesh is None:
+            return jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a)) if a is not None else None,
+                batch, is_leaf=lambda a: a is None,
+            )
+        bspec = batch_pspec(self.ndim_spatial)
+
+        def place(a):
+            if a is None:
+                return None
+            arr = np.asarray(a)
+            spec = bspec if arr.ndim >= 2 + self.ndim_spatial else P("data")
+            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+        return jax.tree.map(place, batch, is_leaf=lambda a: a is None)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        config: TrainConfig,
+        mesh: Optional[Mesh] = None,
+        loggers: Optional[Logger] = None,
+        draw_figure: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.optimizer = make_optimizer(
+            config.learning_rate, config.grad_clip, config.weight_decay,
+            config.warmup_steps,
+        )
+        self.loggers = loggers or MultiLogger(
+            CSVLogger(config.out_dir, config.experiment_name),
+            ConsoleLogger(every=config.log_every_steps),
+        )
+        self.draw_figure = draw_figure
+        self.ckpt = CheckpointManager(
+            os.path.join(config.out_dir, config.experiment_name, "checkpoints"),
+            every_steps=config.ckpt_every_steps,
+        )
+        self._feeder = _DeviceFeeder(mesh, model_ndim_spatial(model))
+
+    def init_state(self, rng: jax.Array, init_params=None) -> TrainState:
+        params = init_params if init_params is not None else self.model.init_params(rng)
+        opt_state = self.optimizer.init(params)
+        return TrainState(0, params, opt_state)
+
+    def fit(
+        self,
+        datamodule,
+        init_params=None,
+        max_steps: Optional[int] = None,
+    ) -> TrainState:
+        cfg = self.config
+        max_steps = max_steps or cfg.max_steps
+        rngs = RngStream(cfg.seed)
+        state = self.init_state(rngs.next(), init_params)
+
+        if cfg.resume:
+            restored = self.ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                print(f"[trainer] resumed from step {int(state.step)}", flush=True)
+
+        batch_template = None
+        train_step = None
+        eval_step = None
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+        start_step = int(state.step)
+        t_start = time.time()
+
+        for batch in datamodule.train_batches(max_steps, start_step=start_step):
+            if train_step is None:
+                batch_template = jax.tree.map(
+                    lambda a: a if a is None else jax.ShapeDtypeStruct(np.asarray(a).shape, np.asarray(a).dtype),
+                    batch, is_leaf=lambda a: a is None,
+                )
+                train_step = make_train_step(
+                    self.model, self.optimizer, mesh=self.mesh,
+                    batch_template=batch_template if self.mesh else None,
+                )
+                eval_step = make_eval_step(
+                    self.model, mesh=self.mesh,
+                    batch_template=batch_template if self.mesh else None,
+                )
+            dev_batch = self._feeder.put(batch)
+            step_rng = jax.random.fold_in(base_rng, int(state.step))
+            state, metrics = train_step(state, dev_batch, step_rng)
+            step = int(state.step)
+
+            if step % cfg.log_every_steps == 0 or step == max_steps:
+                scalars = {k: float(v) for k, v in metrics.items()}
+                scalars["lr"] = cfg.learning_rate
+                self.loggers.log_scalars(step, scalars)
+
+            if cfg.val_check_interval and step % cfg.val_check_interval == 0:
+                self._validate(state, datamodule, eval_step, step, rngs)
+
+            self.ckpt.maybe_save(state)
+
+        self.ckpt.maybe_save(state, force=True)
+        self.ckpt.wait()
+        dt = time.time() - t_start
+        n = int(state.step) - start_step
+        if n > 0:
+            print(f"[trainer] {n} steps in {dt:.1f}s ({n / dt:.3f} it/s)", flush=True)
+        return state
+
+    def _validate(self, state, datamodule, eval_step, step, rngs):
+        agg: dict[str, list] = {}
+        vb = None
+        for i, batch in enumerate(datamodule.val_dataloader()):
+            if i >= self.config.n_val_batches:
+                break
+            dev_batch = self._feeder.put(batch)
+            if vb is None:
+                vb = dev_batch
+            metrics = eval_step(state.params, dev_batch, rngs.next())
+            for k, v in metrics.items():
+                agg.setdefault(f"val_{k}", []).append(float(v))
+        if agg:
+            self.loggers.log_scalars(step, {k: float(np.mean(v)) for k, v in agg.items()})
+        if self.draw_figure is not None and vb is not None:
+            fig = self.draw_figure(state.params, vb, rngs.next())
+            if fig is not None:
+                self.loggers.log_figure(step, "validation", fig)

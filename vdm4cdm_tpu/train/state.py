@@ -1,0 +1,36 @@
+"""Train state and optimizer.
+
+Reference training recipe (BASELINE.md): Adam(-family) lr 3e-4, global-norm
+gradient clip 0.5 (reference trainVDM3D_c_c_from_field_name_thick_lowbatch.py:45,131).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: int
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(
+    learning_rate: float = 3.0e-4,
+    grad_clip: float = 0.5,
+    weight_decay: float = 0.0,
+    warmup_steps: int = 0,
+) -> optax.GradientTransformation:
+    if warmup_steps > 0:
+        lr = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    else:
+        lr = learning_rate
+    parts = []
+    if grad_clip and grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(optax.adamw(lr, weight_decay=weight_decay))
+    return optax.chain(*parts)
