@@ -1,0 +1,101 @@
+"""Benchmark: flagship 3D conditional VDM training throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: training throughput in voxels/second/chip for the reference's flagship
+3D conditional task (trainVDM3D128_c_c: 128^3 crop, batch 2, chs
+[32,64,128,256], learned_linear gamma, Adam 3e-4, grad clip 0.5 — reference
+configs.yaml:1-18 and BASELINE.md targets row "train voxels/sec/chip").
+
+Baseline: the reference publishes no numbers (BASELINE.md). The denominator
+used here is 5.0e6 voxels/s — an estimate of the reference's single-GPU (A100)
+throughput for this exact model/batch (batch 2 x 128^3 = 4.19M voxels at an
+estimated ~0.8 s/step for a 4-level 3D UNet fwd+bwd in torch TF32). BASELINE.md
+sets the target at >=5x this reference throughput. vs_baseline = value / 5.0e6.
+
+Env knobs:
+  BENCH_SIZE (default 128), BENCH_BATCH (2), BENCH_STEPS (20), BENCH_DTYPE
+  (bfloat16|float32, default bfloat16 activations / f32 params+ELBO).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    cache = os.path.expanduser("~/.cache/vdm4cdm_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from vdm4cdm_tpu.diffusion import VDM, make_schedule
+    from vdm4cdm_tpu.models import CUNet
+    from vdm4cdm_tpu.train import TrainState, make_optimizer, make_train_step
+
+    size = int(os.environ.get("BENCH_SIZE", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 2))
+    n_steps = int(os.environ.get("BENCH_STEPS", 20))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+
+    net = CUNet(
+        remat=remat,
+        shape=(1, size, size, size),
+        chs=(32, 64, 128, 256),
+        s_conditioning_channels=1,
+        v_conditioning_dims=(6,),
+        norm_groups=8,
+        mid_attn=False,
+        dropout_prob=0.1,
+        conv_padding_mode="circular",
+        compute_dtype=dtype,
+    )
+    vdm = VDM(net, make_schedule("learned_linear", -13.3, 13.3))
+    params = jax.jit(lambda r: vdm.init_params(r, batch_size=1))(jax.random.PRNGKey(0))
+    optimizer = make_optimizer()
+    state = TrainState(0, params, optimizer.init(params))
+    step_fn = make_train_step(vdm, optimizer)
+
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "x": jnp.asarray(rng.standard_normal((batch, size, size, size, 1), np.float32)),
+        "conditioning": jnp.asarray(
+            rng.standard_normal((batch, size, size, size, 1), np.float32)
+        ),
+        "conditioning_values": [jnp.zeros((batch, 6), jnp.float32)],
+    }
+
+    # warmup (compile + 2 steps). Timing protocol: a scalar host fetch is the
+    # only reliable sync on this platform's tunnel (block_until_ready can
+    # return early for donated-buffer chains) — fetch the final loss.
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        state, metrics = step_fn(state, batch_data, jax.random.fold_in(key, i))
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step_fn(state, batch_data, jax.random.fold_in(key, 100 + i))
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    voxels_per_step = batch * size**3
+    value = voxels_per_step * n_steps / dt
+    baseline = 5.0e6
+    print(json.dumps({
+        "metric": f"train_voxels_per_sec_per_chip_vdm3d_c_c_{size}",
+        "value": round(value, 1),
+        "unit": "voxels/s",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

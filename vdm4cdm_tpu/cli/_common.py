@@ -1,0 +1,104 @@
+"""Shared CLI plumbing: platform/cache setup, mesh construction, model+figure
+wiring."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def setup_jax(cache_dir: Optional[str] = None, platform: Optional[str] = None):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    cache_dir = cache_dir or os.environ.get(
+        "VDM4CDM_COMPILE_CACHE", os.path.expanduser("~/.cache/vdm4cdm_tpu/xla")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def make_mesh_from_config(cfg):
+    if not cfg.parallel.needs_mesh:
+        return None
+    from ..utils.mesh import make_mesh
+
+    return make_mesh(n_data=cfg.parallel.n_data, n_sp=cfg.parallel.n_sp)
+
+
+def make_validation_figure_fn(cfg, model, dm):
+    """Build the draw_figure hook: sample from the model and render the 2x3
+    validation panel (reference trainVDM3D_c_c...:91-112 wiring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..evals import figures, spectra
+    from ..utils.array import to_np
+
+    ndim = cfg.model.ndim
+    is_sfm = cfg.model.family == "sfm"
+    n_steps = min(cfg.run.n_figure_sampling_steps, 100)
+
+    unnorm = getattr(dm, "unnorm_func", None)
+
+    def x_to_im(field):  # (C, *spatial) -> 2D image
+        f = field[0]
+        if ndim == 3:
+            f = f[:, :, :32].sum(-1)
+        return f
+
+    def pk_plot(field, i_channel):
+        if unnorm is not None:
+            field = np.asarray(unnorm(field, i_channel))
+        field = field / (field.sum() + 1e-12)
+        ks, pks, _ = spectra.power(jnp.asarray(field)[None, None])
+        return to_np(ks), to_np(pks)
+
+    def cc_plot(f1, f2, i_channel):
+        if unnorm is not None:
+            f1 = np.asarray(unnorm(f1, i_channel))
+            f2 = np.asarray(unnorm(f2, i_channel))
+        a = jnp.asarray(f1 / (f1.sum() + 1e-12))[None, None]
+        b = jnp.asarray(f2 / (f2.sum() + 1e-12))[None, None]
+        ks, ccs = spectra.get_ccs(a, b)
+        return to_np(ks[0]), to_np(ccs[0])
+
+    hooks = dict(
+        x_to_im=x_to_im,
+        conditioning_to_im=x_to_im,
+        conditioning_values_to_str=str,
+        pk_func=pk_plot,
+        cc_func=cc_plot,
+    )
+
+    def draw(params, batch, rng):
+        n = min(2, (batch["x1"] if is_sfm else batch["x"]).shape[0])
+        v_conds = [v[:n] for v in (batch.get("conditioning_values") or [])]
+        if is_sfm:
+            samples = model.draw_samples(
+                params, batch["x0"][:n], n_sampling_steps=n_steps,
+                v_conditionings=v_conds,
+            )
+            return figures.draw_figure_sfm(
+                jax.tree.map(lambda a: a[:n] if a is not None else None, batch,
+                             is_leaf=lambda a: a is None),
+                samples, **hooks,
+            )
+        cond = batch.get("conditioning")
+        samples = model.draw_samples(
+            params, rng, batch_size=n, n_sampling_steps=n_steps,
+            s_conditioning=None if cond is None else cond[:n],
+            v_conditionings=v_conds,
+        )
+        return figures.draw_figure(
+            jax.tree.map(lambda a: a[:n] if a is not None else None, batch,
+                         is_leaf=lambda a: a is None),
+            samples, **hooks,
+        )
+
+    return draw

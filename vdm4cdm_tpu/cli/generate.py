@@ -1,0 +1,130 @@
+"""Generation CLI — posterior-sampling campaigns from trained checkpoints.
+
+Parity with reference generate_3D.py / generate_3D_1P.py:
+
+    vdm4cdm-generate MODEL_NAME SAVE_PATH RUNTYPE --ckpt-dir RUN_CKPT_DIR
+
+Runtypes (reference generate_3D.py:43-97, generate_3D_1P.py:43-70):
+    CV_12_12 — 12 held-out CV boxes x 12 posterior samples -> gen_{i}.npy
+    CV_1_128 — CV box index 2 x 128 samples               -> gen_0.npy
+    1P_24 / 1P_128 — parameter-variation boxes {0,4,7,23,28} =
+        (fid, Om-, Om+, ASN1-, ASN1+) x {24,128} samples   -> {name}_{rep}.npy
+
+Outputs are normalized samples, channels-first (B, C, *spatial) .npy stacks —
+byte-compatible with the reference's campaign outputs so calc_ss can consume
+either. Unlike the reference (which raises NotImplementedError for SFM,
+generate_3D.py:16-17), SFM sampling works here via the ODE integrator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+ONE_P_INDICES = [0, 4, 7, 23, 28]
+ONE_P_NAMES = ["fid", "Om_m2", "Om_p2", "ASN1_m3", "ASN1_p3"]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Generate posterior samples")
+    ap.add_argument("model_name", type=str, help="preset / registry model name")
+    ap.add_argument("save_path", type=str)
+    ap.add_argument("runtype", type=str,
+                    choices=["CV_12_12", "CV_1_128", "1P_24", "1P_128"])
+    ap.add_argument("--ckpt-dir", type=str, required=True,
+                    help="orbax checkpoint dir of the trained run")
+    ap.add_argument("--ckpt-step", type=int, default=None)
+    ap.add_argument("--n-sampling-steps", type=int, default=250)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--set", dest="overrides", nargs="*", metavar="SEC.KEY=VAL",
+                    help="config overrides — must match the training run's")
+    args = ap.parse_args(argv)
+
+    from ._common import setup_jax
+
+    jax = setup_jax(platform=args.platform)
+    import jax.numpy as jnp
+
+    from ..config import build_datamodule, build_model
+    from ..presets import preset as get_preset
+    from ..train.checkpoint import load_params
+    from ..utils.array import nlast_to_nchw, to_np
+    from ..utils.rng import RngStream
+
+    os.makedirs(args.save_path, exist_ok=True)
+    cfg = get_preset(args.model_name)
+    from .train import parse_overrides
+
+    for k, v in parse_overrides(args.overrides).items():
+        section, _, field = k.partition(".")
+        setattr(getattr(cfg, section), field, v)
+    set_name = args.runtype.split("_")[0]
+    cfg.data.set_name = set_name
+    cfg.data.batch_size = 1
+    is_sfm = cfg.model.family == "sfm"
+
+    model = build_model(cfg)
+    template = model.init_params(jax.random.PRNGKey(0))
+    params = load_params(args.ckpt_dir, template, step=args.ckpt_step)
+    dm = build_datamodule(cfg, stage="test")
+    rngs = RngStream(args.seed)
+
+    if is_sfm:
+        sample_fn = jax.jit(
+            lambda p, x0, v: model.draw_samples(
+                p, x0, n_sampling_steps=args.n_sampling_steps, v_conditionings=v
+            )
+        )
+    else:
+        sample_fn = jax.jit(
+            lambda p, r, s, v: model.draw_samples(
+                p, r, batch_size=1, n_sampling_steps=args.n_sampling_steps,
+                s_conditioning=s, v_conditionings=v,
+            )
+        )
+
+    def draw(batch, rng):
+        v = [jnp.asarray(a) for a in (batch.get("conditioning_values") or [])]
+        if cfg.data.conditioning_values == 0:
+            v = []
+        if is_sfm:
+            return sample_fn(params, jnp.asarray(batch["x0"]), v)
+        cond = batch.get("conditioning")
+        cond = None if cond is None else jnp.asarray(cond)
+        return sample_fn(params, rng, cond, v)
+
+    def campaign(batch_filter, reps, name_fn):
+        count = 0
+        for i_batch, batch in enumerate(dm.test_dataloader()):
+            if not batch_filter(i_batch):
+                continue
+            gens = []
+            for r in range(reps):
+                gen = draw(batch, rngs.next())
+                gens.append(to_np(nlast_to_nchw(gen)))
+                print(f"[generate] box {i_batch} rep {r + 1}/{reps}", flush=True)
+            out = np.concatenate(gens, axis=0)
+            np.save(os.path.join(args.save_path, name_fn(count, i_batch)), out)
+            count += 1
+
+    if args.runtype == "CV_12_12":
+        campaign(lambda i: i < 12, 12, lambda c, i: f"gen_{c}.npy")
+    elif args.runtype == "CV_1_128":
+        campaign(lambda i: i == 2, 128, lambda c, i: f"gen_{c}.npy")
+    else:
+        reps = 24 if args.runtype == "1P_24" else 128
+        campaign(
+            lambda i: i in ONE_P_INDICES,
+            reps,
+            lambda c, i: f"{ONE_P_NAMES[ONE_P_INDICES.index(i)]}_{reps}.npy",
+        )
+    print(f"[generate] campaign {args.runtype} written to {args.save_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -161,7 +161,8 @@ class CAMELSDataModule:
 
     def _collate(self, samples: list[dict]) -> dict:
         """Stack sample dicts; channels-first (C,*sp) fields become
-        channels-last (B,*sp,C) device layout."""
+        channels-last (B,*sp,C) device layout; non-field tensors (e.g. raw
+        param vectors) are stacked as-is."""
         out = {}
         perm = (0,) + tuple(range(2, 2 + self.ndim)) + (1,)
         s0 = samples[0]
@@ -173,7 +174,10 @@ class CAMELSDataModule:
                     np.stack([s[key][i] for s in samples]) for i in range(len(s0[key]))
                 ]
             else:
-                out[key] = np.stack([s[key] for s in samples]).transpose(perm)
+                stacked = np.stack([s[key] for s in samples])
+                if stacked.ndim == 2 + self.ndim:  # (B, C, *spatial) field
+                    stacked = stacked.transpose(perm)
+                out[key] = stacked
         return out
 
     # ------------------------------------------------------------- loaders
@@ -187,17 +191,20 @@ class CAMELSDataModule:
         work = queue.Queue(maxsize=4 * max(1, self.num_workers))
 
         def producer():
-            for start in range(0, n_full * bs, bs):
-                batch_idx = idxs[start : start + bs]
-                sample_rng = np.random.default_rng((epoch_seed, int(start)))
-                samples = [self._get_sample(i, sample_rng, augment) for i in batch_idx]
-                work.put(self._collate(samples))
-            if tail and not drop_last:
-                batch_idx = idxs[n_full * bs :]
-                sample_rng = np.random.default_rng((epoch_seed, n_full * bs))
-                samples = [self._get_sample(i, sample_rng, augment) for i in batch_idx]
-                work.put(self._collate(samples))
-            work.put(None)
+            try:
+                for start in range(0, n_full * bs, bs):
+                    batch_idx = idxs[start : start + bs]
+                    sample_rng = np.random.default_rng((epoch_seed, int(start)))
+                    samples = [self._get_sample(i, sample_rng, augment) for i in batch_idx]
+                    work.put(self._collate(samples))
+                if tail and not drop_last:
+                    batch_idx = idxs[n_full * bs :]
+                    sample_rng = np.random.default_rng((epoch_seed, n_full * bs))
+                    samples = [self._get_sample(i, sample_rng, augment) for i in batch_idx]
+                    work.put(self._collate(samples))
+                work.put(None)
+            except BaseException as e:  # surface loader errors to the consumer
+                work.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -205,6 +212,8 @@ class CAMELSDataModule:
             item = work.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def train_dataloader(self, epoch: int = 0) -> Iterator[dict]:

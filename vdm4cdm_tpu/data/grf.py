@@ -111,3 +111,15 @@ class GRFDataModule:
     def val_dataloader(self) -> Iterator[dict]:
         val = dataclasses.replace(self, seed=self.seed + 777_777)
         return val.batches(n_batches=8)
+
+    def test_dataloader(self) -> Iterator[dict]:
+        test = dataclasses.replace(self, seed=self.seed + 555_555)
+        return test.batches(n_batches=12)
+
+    # identity normalization (GRF fields are already ~N(0,1)) — keeps the
+    # datamodule API surface uniform with CAMELSDataModule
+    def norm_func(self, field, i_channel: int):
+        return field
+
+    def unnorm_func(self, field, i_channel: int):
+        return field

@@ -71,16 +71,22 @@ class VDM:
         return tuple(spatial) + (c,)
 
     def init_params(self, rng: jax.Array, batch_size: int = 1) -> Dict[str, Any]:
-        c, *spatial = self.score_model.shape
+        """Initialize outside any mesh: params are ctx-independent (kernel
+        shapes don't depend on sharding), so init always runs on an unsharded
+        clone — collectives in the sharded model can't trace outside shard_map."""
+        from ..parallel.halo import NO_SHARD
+
+        net = self.score_model.clone(ctx=NO_SHARD)
+        c, *spatial = net.shape
         z = jnp.zeros((batch_size, *spatial, c), jnp.float32)
         t = jnp.zeros((batch_size,), jnp.float32)
         s = (
-            jnp.zeros((batch_size, *spatial, self.score_model.s_conditioning_channels))
-            if self.score_model.s_conditioning_channels
+            jnp.zeros((batch_size, *spatial, net.s_conditioning_channels))
+            if net.s_conditioning_channels
             else None
         )
-        v = [jnp.zeros((batch_size, d)) for d in self.score_model.v_conditioning_dims]
-        unet_params = self.score_model.init(
+        v = [jnp.zeros((batch_size, d)) for d in net.v_conditioning_dims]
+        unet_params = net.init(
             {"params": rng}, z, t, s_conditioning=s, v_conditionings=v, train=False
         )["params"]
         return {"unet": unet_params, "gamma": self.schedule.init_params()}

@@ -45,16 +45,20 @@ class SFM:
         return tuple(spatial) + (c,)
 
     def init_params(self, rng: jax.Array, batch_size: int = 1) -> Dict[str, Any]:
-        c, *spatial = self.velocity_model.shape
+        """Init on an unsharded clone — see VDM.init_params."""
+        from ..parallel.halo import NO_SHARD
+
+        net = self.velocity_model.clone(ctx=NO_SHARD)
+        c, *spatial = net.shape
         x = jnp.zeros((batch_size, *spatial, c), jnp.float32)
         t = jnp.zeros((batch_size,), jnp.float32)
         s = (
-            jnp.zeros((batch_size, *spatial, self.velocity_model.s_conditioning_channels))
-            if self.velocity_model.s_conditioning_channels
+            jnp.zeros((batch_size, *spatial, net.s_conditioning_channels))
+            if net.s_conditioning_channels
             else None
         )
-        v = [jnp.zeros((batch_size, d)) for d in self.velocity_model.v_conditioning_dims]
-        unet_params = self.velocity_model.init(
+        v = [jnp.zeros((batch_size, d)) for d in net.v_conditioning_dims]
+        unet_params = net.init(
             {"params": rng}, x, t, s_conditioning=s, v_conditionings=v, train=False
         )["params"]
         return {"unet": unet_params}

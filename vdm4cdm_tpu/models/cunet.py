@@ -94,16 +94,21 @@ class _GroupNorm(nn.Module):
 
 class ResBlock(nn.Module):
     """GroupNorm -> SiLU -> conv -> FiLM(emb) -> GroupNorm -> SiLU -> dropout
-    -> conv, with a (1x1-conv-projected) residual connection."""
+    -> conv, with a (1x1-conv-projected) residual connection.
+
+    ``train`` is a module attribute (not a call arg) so nn.remat sees only
+    array arguments when rematerialization is enabled."""
 
     features: int
     norm_groups: int
     dropout_prob: float
     padding_mode: str
     ctx: ShardCtx = NO_SHARD
+    train: bool = False
 
     @nn.compact
-    def __call__(self, x, emb, train: bool):
+    def __call__(self, x, emb):
+        train = self.train
         h = _GroupNorm(self.norm_groups, act="silu", ctx=self.ctx)(x)
         h = _Conv(self.features, 3, padding_mode=self.padding_mode, ctx=self.ctx)(h)
 
@@ -174,6 +179,10 @@ class CUNet(nn.Module):
     num_res_blocks: int = 2
     compute_dtype: jnp.dtype = jnp.float32
     ctx: ShardCtx = NO_SHARD
+    # Rematerialize ResBlocks in the backward pass: mandatory headroom for
+    # native-resolution 3D volumes (a 128^3 batch-2 train step OOMs a 16 GB
+    # chip without it; with it there is room to spare). ~25-30% extra FLOPs.
+    remat: bool = False
 
     @property
     def ndim_spatial(self) -> int:
@@ -220,13 +229,15 @@ class CUNet(nn.Module):
             vemb = nn.Dense(emb_dim, name=f"v_dense1_{i}")(nn.silu(vemb))
             emb = vemb if emb is None else emb + vemb
 
+        Res = nn.remat(ResBlock) if self.remat else ResBlock
+
         # -- encoder ----------------------------------------------------------
         h = _Conv(self.chs[0], 3, padding_mode=pm, ctx=ctx, name="conv_in")(x)
         skips = [h]
         for level, ch in enumerate(self.chs):
             for blk in range(self.num_res_blocks):
-                h = ResBlock(ch, ng, self.dropout_prob, pm, ctx,
-                             name=f"down_{level}_{blk}")(h, emb, train)
+                h = Res(ch, ng, self.dropout_prob, pm, ctx, train,
+                        name=f"down_{level}_{blk}")(h, emb)
                 skips.append(h)
             if level < len(self.chs) - 1:
                 h = _Conv(ch, 3, stride=2, padding_mode=pm, ctx=ctx,
@@ -234,17 +245,17 @@ class CUNet(nn.Module):
                 skips.append(h)
 
         # -- bottleneck ---------------------------------------------------------
-        h = ResBlock(self.chs[-1], ng, self.dropout_prob, pm, ctx, name="mid_0")(h, emb, train)
+        h = Res(self.chs[-1], ng, self.dropout_prob, pm, ctx, train, name="mid_0")(h, emb)
         if self.mid_attn:
             h = AttentionBlock(self.n_attention_heads, ng, ctx, name="mid_attn")(h)
-        h = ResBlock(self.chs[-1], ng, self.dropout_prob, pm, ctx, name="mid_1")(h, emb, train)
+        h = Res(self.chs[-1], ng, self.dropout_prob, pm, ctx, train, name="mid_1")(h, emb)
 
         # -- decoder ----------------------------------------------------------
         for level, ch in reversed(list(enumerate(self.chs))):
             for blk in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = ResBlock(ch, ng, self.dropout_prob, pm, ctx,
-                             name=f"up_{level}_{blk}")(h, emb, train)
+                h = Res(ch, ng, self.dropout_prob, pm, ctx, train,
+                        name=f"up_{level}_{blk}")(h, emb)
             if level > 0:
                 h = upsample_nearest(h)
                 h = _Conv(ch, 3, padding_mode=pm, ctx=ctx, name=f"upsample_{level}")(h)

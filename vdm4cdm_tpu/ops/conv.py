@@ -78,14 +78,17 @@ def conv_nd(
         x = jnp.pad(x, pad_width, mode="wrap")
         conv_pads = [(0, 0)] * nd
 
+    # No explicit preferred_element_type: with bf16 operands the TPU MXU still
+    # accumulates in f32 internally, and an explicit f32 upcast + downcast
+    # breaks the conv transpose rule (cotangent arrives f32 against bf16
+    # primals in the grad-w conv).
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=stride,
         padding=conv_pads,
         dimension_numbers=_dim_numbers(nd),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

@@ -37,12 +37,13 @@ def group_norm(
     b = x.shape[0]
     c = x.shape[-1]
     assert c % groups == 0, f"channels {c} not divisible by groups {groups}"
-    orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
 
-    xg = xf.reshape(b, -1, groups, c // groups)  # (B, S_local, G, C/G)
-    s1 = jnp.sum(xg, axis=(1, 3))  # (B, G)
-    s2 = jnp.sum(xg * xg, axis=(1, 3))
+    # Moments accumulate in f32 via the reduction dtype — the activation tensor
+    # itself is NEVER upcast (a full f32 copy of a bf16 128^3 volume is what
+    # blows HBM at scale).
+    xg = x.reshape(b, -1, groups, c // groups)  # (B, S_local, G, C/G)
+    s1 = jnp.sum(xg, axis=(1, 3), dtype=jnp.float32)  # (B, G)
+    s2 = jnp.sum(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
     count = xg.shape[1] * xg.shape[3]
     if ctx.axis is not None:
         s1 = jax.lax.psum(s1, ctx.axis)
@@ -50,15 +51,17 @@ def group_norm(
         count = count * ctx.axis_size()
     mean = s1 / count
     var = s2 / count - mean * mean
+    inv = jax.lax.rsqrt(var + eps)  # (B, G) f32
 
-    inv = jax.lax.rsqrt(var + eps)  # (B, G)
-    mean_c = jnp.repeat(mean, c // groups, axis=-1)  # (B, C)
-    inv_c = jnp.repeat(inv, c // groups, axis=-1)
+    # fold scale into inv and bias into shift: out = x * a + b, all in x.dtype
     shape_bc = (b,) + (1,) * (x.ndim - 2) + (c,)
-    out = (xf - mean_c.reshape(shape_bc)) * inv_c.reshape(shape_bc)
-    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    inv_c = jnp.repeat(inv, c // groups, axis=-1).reshape(shape_bc)
+    mean_c = jnp.repeat(mean, c // groups, axis=-1).reshape(shape_bc)
+    a = inv_c * scale.astype(jnp.float32)
+    sh = bias.astype(jnp.float32) - mean_c * a
+    out = x * a.astype(x.dtype) + sh.astype(x.dtype)
     if act == "silu":
         out = out * jax.nn.sigmoid(out)
     elif act is not None:
         raise ValueError(f"unknown act {act!r}")
-    return out.astype(orig_dtype)
+    return out

@@ -29,8 +29,12 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def maybe_save(self, state: TrainState, force: bool = False) -> bool:
-        step = int(state.step)
+    def maybe_save(self, state: TrainState, force: bool = False,
+                   step: Optional[int] = None) -> bool:
+        """step: host-side step count (pass it to avoid a device sync on the
+        on-device state.step every training step)."""
+        if step is None:
+            step = int(state.step)
         if step in (self._mgr.all_steps() or []):
             return False  # periodic save already wrote this step
         return self._mgr.save(
@@ -61,17 +65,7 @@ class CheckpointManager:
         """Load only params (for generation / warm starts across runs —
         the reference's cross-resolution warm start works because conv weights
         are resolution-independent; so are ours)."""
-        mgr = self._mgr
-        if directory is not None and os.path.abspath(directory) != self.directory:
-            mgr = ocp.CheckpointManager(os.path.abspath(directory))
-        if step is None:
-            step = mgr.latest_step()
-        if step is None:
-            raise FileNotFoundError(f"no checkpoint in {directory or self.directory}")
-        restored = mgr.restore(
-            step, args=ocp.args.StandardRestore({"params": params_template})
-        )
-        return restored["params"]
+        return load_params(directory or self.directory, params_template, step=step)
 
     def wait(self):
         self._mgr.wait_until_finished()
@@ -81,12 +75,22 @@ class CheckpointManager:
 
 
 def load_params(directory: str, params_template, step: Optional[int] = None):
-    """One-shot params load from a checkpoint directory."""
+    """One-shot params load from a checkpoint directory.
+
+    Restores the full saved tree structure-free (checkpoints also hold
+    opt_state, which callers like generation don't model), then maps the
+    params subtree onto the template's dtypes."""
     mgr = ocp.CheckpointManager(os.path.abspath(directory))
     if step is None:
         step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint found in {directory}")
-    out = mgr.restore(step, args=ocp.args.StandardRestore({"params": params_template}))
+    out = mgr.restore(step, args=ocp.args.StandardRestore())
     mgr.close()
-    return out["params"]
+    params = out["params"]
+    if params_template is not None:
+        params = jax.tree.map(
+            lambda tmpl, val: jax.numpy.asarray(val, dtype=tmpl.dtype),
+            params_template, params,
+        )
+    return params

@@ -125,6 +125,7 @@ class Trainer:
         eval_step = None
         base_rng = jax.random.PRNGKey(cfg.seed + 1)
         start_step = int(state.step)
+        host_step = start_step  # host mirror of state.step: no per-step device sync
         t_start = time.time()
 
         for batch in datamodule.train_batches(max_steps, start_step=start_step):
@@ -142,10 +143,13 @@ class Trainer:
                     batch_template=batch_template if self.mesh else None,
                 )
             dev_batch = self._feeder.put(batch)
-            step_rng = jax.random.fold_in(base_rng, int(state.step))
+            step_rng = jax.random.fold_in(base_rng, host_step)
             state, metrics = train_step(state, dev_batch, step_rng)
-            step = int(state.step)
+            host_step += 1
+            step = host_step
 
+            # Only materialize metrics on log steps — pulling them every step
+            # would force a device sync per step and serialize the pipeline.
             if step % cfg.log_every_steps == 0 or step == max_steps:
                 scalars = {k: float(v) for k, v in metrics.items()}
                 scalars["lr"] = cfg.learning_rate
@@ -154,7 +158,7 @@ class Trainer:
             if cfg.val_check_interval and step % cfg.val_check_interval == 0:
                 self._validate(state, datamodule, eval_step, step, rngs)
 
-            self.ckpt.maybe_save(state)
+            self.ckpt.maybe_save(state, step=step)
 
         self.ckpt.maybe_save(state, force=True)
         self.ckpt.wait()
