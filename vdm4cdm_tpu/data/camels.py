@@ -74,6 +74,11 @@ class CAMELSDataModule:
     seed: int = 42
     num_workers: int = 8
     slices_per_sim_2d: int = 15
+    # Use the C++ fastloader (native/fastloader.cpp) when available and the
+    # return_func is one of the standard batch shapes: one fused gather pass
+    # per batch instead of ~5 numpy intermediates per sample. The Python path
+    # is the oracle (tests/test_native_loader.py proves exact equivalence).
+    use_native: bool = True
 
     def __post_init__(self):
         assert self.stage in ("fit", "test"), f"stage {self.stage} not recognized"
@@ -180,6 +185,51 @@ class CAMELSDataModule:
                 out[key] = stacked
         return out
 
+    # ------------------------------------------------------- native fast path
+    def _native_kind(self) -> Optional[str]:
+        if not self.use_native:
+            return None
+        from . import native
+
+        if not native.available():
+            return None
+        if self.return_func is vdm_cc_return_func and len(self.fields) == 2:
+            return "vdm_cc"
+        if self.return_func is sfm_return_func and len(self.fields) == 2:
+            return "sfm"
+        if self.return_func is default_return_func:
+            return "default"
+        return None
+
+    def _native_batch(self, batch_idx: np.ndarray, rng: Optional[np.random.Generator],
+                      augment: bool, kind: str) -> dict:
+        from . import native
+
+        b = len(batch_idx)
+        nd = self.ndim
+        isims, icrops = np.divmod(np.asarray(batch_idx, np.int64), self.ncrops)
+        anchors = self.anchors[icrops].astype(np.int64)
+        if augment:
+            anchors = anchors + rng.integers(0, self.cropsize, size=(b, nd))
+            flips = rng.integers(0, 2, size=(b, nd)).astype(np.int32)
+            perms = np.stack([rng.permutation(nd) for _ in range(b)]).astype(np.int32)
+        else:
+            flips = np.zeros((b, nd), np.int32)
+            perms = np.tile(np.arange(nd, dtype=np.int32), (b, 1))
+        out = native.crop_batch(
+            self.fields, isims, anchors, flips, perms, self.cropsize,
+            alphas=self.normalizer.alphas, means=self.normalizer.means,
+            stds=self.normalizer.stds, channels_last=True,
+        )
+        params = self.params[isims]
+        if kind == "vdm_cc":
+            return {"conditioning": out[..., 0:1], "x": out[..., 1:2],
+                    "conditioning_values": [params]}
+        if kind == "sfm":
+            return {"x0": out[..., 0:1], "x1": out[..., 1:2],
+                    "conditioning_values": [params]}
+        return {"x": out, "conditioning": None, "conditioning_values": params}
+
     # ------------------------------------------------------------- loaders
     def _iterate(self, indices, shuffle: bool, augment: bool, epoch_seed: int,
                  drop_last: bool) -> Iterator[dict]:
@@ -190,18 +240,21 @@ class CAMELSDataModule:
         tail = len(idxs) - n_full * bs
         work = queue.Queue(maxsize=4 * max(1, self.num_workers))
 
+        native_kind = self._native_kind()
+
+        def make_batch(batch_idx, start):
+            sample_rng = np.random.default_rng((epoch_seed, int(start)))
+            if native_kind is not None:
+                return self._native_batch(batch_idx, sample_rng, augment, native_kind)
+            samples = [self._get_sample(i, sample_rng, augment) for i in batch_idx]
+            return self._collate(samples)
+
         def producer():
             try:
                 for start in range(0, n_full * bs, bs):
-                    batch_idx = idxs[start : start + bs]
-                    sample_rng = np.random.default_rng((epoch_seed, int(start)))
-                    samples = [self._get_sample(i, sample_rng, augment) for i in batch_idx]
-                    work.put(self._collate(samples))
+                    work.put(make_batch(idxs[start : start + bs], start))
                 if tail and not drop_last:
-                    batch_idx = idxs[n_full * bs :]
-                    sample_rng = np.random.default_rng((epoch_seed, n_full * bs))
-                    samples = [self._get_sample(i, sample_rng, augment) for i in batch_idx]
-                    work.put(self._collate(samples))
+                    work.put(make_batch(idxs[n_full * bs :], n_full * bs))
                 work.put(None)
             except BaseException as e:  # surface loader errors to the consumer
                 work.put(e)
