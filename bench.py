@@ -15,7 +15,10 @@ sets the target at >=5x this reference throughput. vs_baseline = value / 5.0e6.
 
 Env knobs:
   BENCH_SIZE (default 128), BENCH_BATCH (2), BENCH_STEPS (20), BENCH_DTYPE
-  (bfloat16|float32, default bfloat16 activations / f32 params+ELBO).
+  (bfloat16|float32, default bfloat16 activations / f32 params+ELBO),
+  BENCH_REMAT (1), BENCH_MODE (train|sample — sample reports seconds per
+  sampled field at 250 ancestral steps, the reference's generation unit cost,
+  BASELINE.md "sample sec/field at 128^3").
 """
 
 import json
@@ -59,6 +62,32 @@ def main():
     )
     vdm = VDM(net, make_schedule("learned_linear", -13.3, 13.3))
     params = jax.jit(lambda r: vdm.init_params(r, batch_size=1))(jax.random.PRNGKey(0))
+
+    if os.environ.get("BENCH_MODE", "train") == "sample":
+        n_sampling_steps = int(os.environ.get("BENCH_SAMPLE_STEPS", 250))
+        rng = np.random.default_rng(0)
+        cond = jnp.asarray(rng.standard_normal((1, size, size, size, 1), np.float32))
+        vvals = [jnp.zeros((1, 6), jnp.float32)]
+        fn = jax.jit(lambda p, r: vdm.draw_samples(
+            p, r, batch_size=1, n_sampling_steps=n_sampling_steps,
+            s_conditioning=cond, v_conditionings=vvals))
+        out = fn(params, jax.random.PRNGKey(1))
+        float(out.ravel()[0])  # warm + sync
+        t0 = time.perf_counter()
+        out = fn(params, jax.random.PRNGKey(2))
+        float(out.ravel()[0])
+        dt = time.perf_counter() - t0
+        # reference unit cost: one 250-step sampled field on one GPU. Estimated
+        # reference: 250 UNet fwd at ~0.27 s => ~67 s/field on A100 (same
+        # uncertainty caveat as the train baseline).
+        print(json.dumps({
+            "metric": f"sample_sec_per_field_vdm3d_c_c_{size}_{n_sampling_steps}steps",
+            "value": round(dt, 3),
+            "unit": "s/field",
+            "vs_baseline": round(67.0 / dt, 3),
+        }))
+        return
+
     optimizer = make_optimizer()
     state = TrainState(0, params, optimizer.init(params))
     step_fn = make_train_step(vdm, optimizer)

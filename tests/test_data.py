@@ -147,6 +147,49 @@ class TestCAMELSDataModule:
         np.testing.assert_allclose(renorm, x, rtol=1e-4, atol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def synth_registry_2d(tmp_path_factory):
+    """2D registry: maps come x15 slices per sim (reference
+    CAMELS_2D_dataset.py:119)."""
+    root = tmp_path_factory.mktemp("camels2d")
+    rng = np.random.default_rng(0)
+    nsims, slices, size = 4, 15, 16
+    reg = root / "registries"
+    os.makedirs(reg)
+    arr = np.abs(rng.standard_normal((nsims * slices, size, size)) + 2).astype(np.float32)
+    p = root / "Mcdm.npy"
+    np.save(p, arr)
+    (reg / "data_source.json").write_text(json.dumps(
+        {"CMD": {"Astrid": {"LH": {"z_0.0": {"Mcdm": str(p)}},
+                            "CV": {"z_0.0": {"Mcdm": str(p)}}}}}))
+    (reg / "normalizations.json").write_text(json.dumps({"Mcdm_m": 0.2, "Mcdm_s": 0.5}))
+    (reg / "alphas.json").write_text(json.dumps({"Mcdm": 1.0}))
+    os.makedirs(root / "params_new")
+    np.savetxt(root / "params_new" / "params_LH_Astrid.txt", rng.uniform(size=(nsims, 6)))
+    np.savetxt(root / "params_new" / "params_CV_Astrid.txt", rng.uniform(size=(nsims, 6)))
+    return str(reg), str(root)
+
+
+class TestCAMELS2D:
+    def test_params_repeated_and_split(self, synth_registry_2d):
+        reg_dir, root = synth_registry_2d
+        dm = get_dataset(reg_dir, channel_names=["Mcdm"], stage="fit",
+                         batch_size=4, cropsize=16, ndim=2, data_root=root)
+        assert dm.nsims == 60  # 4 sims x 15 slices
+        assert len(dm.params) == 60
+        # 90/10 split for 2D (reference CAMELS_2D_dataset.py:130-132)
+        assert len(dm.train_indices) == int(60 * 0.9)
+        batch = next(dm.train_dataloader())
+        assert batch["x"].shape == (4, 16, 16, 1)
+
+    def test_cv_holdout_blocks(self, synth_registry_2d):
+        reg_dir, root = synth_registry_2d
+        dm = get_dataset(reg_dir, channel_names=["Mcdm"], set_name="CV",
+                         stage="test", cropsize=16, ndim=2, data_root=root)
+        # holdout sim 2 removes its whole x15 slice block
+        assert dm.nsims == 60 - 15
+
+
 class TestGRF:
     def test_power_law_spectrum(self):
         """The GRF's measured P(k) must follow the requested power law."""

@@ -13,12 +13,19 @@ the correctness oracle for it.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..parallel.halo import NO_SHARD, ShardCtx
+
+# Pallas fused kernel opt-in (TPU, unsharded only). The kernel's forward is a
+# single VMEM-resident two-sweep pass; its backward reuses this module via
+# custom_vjp, so training works. Toggle: VDM4CDM_PALLAS_GN=1 to enable
+# (default off until benchmarked ahead of XLA's fusion on real hardware).
+_PALLAS_GN = os.environ.get("VDM4CDM_PALLAS_GN", "0") == "1"
 
 
 def group_norm(
@@ -34,6 +41,10 @@ def group_norm(
 
     act: None | "silu" (fused activation).
     """
+    if _PALLAS_GN and ctx.axis is None and jax.default_backend() == "tpu":
+        from .pallas.groupnorm import fused_group_norm_vjp
+
+        return fused_group_norm_vjp(x, scale, bias, groups, eps, act, False)
     b = x.shape[0]
     c = x.shape[-1]
     assert c % groups == 0, f"channels {c} not divisible by groups {groups}"
