@@ -67,13 +67,29 @@ def main(argv=None):
     cfg.data.batch_size = 1
     is_sfm = cfg.model.family == "sfm"
 
-    model = build_model(cfg)
+    from ._common import make_mesh_from_config
+    from ..parallel import make_shard_ctx, make_sharded_sfm_sampler, make_sharded_vdm_sampler
+
+    mesh = make_mesh_from_config(cfg)
+    ctx = make_shard_ctx(mesh) if mesh is not None else None
+    model = build_model(cfg, ctx=ctx)
     template = model.init_params(jax.random.PRNGKey(0))
     params = load_params(args.ckpt_dir, template, step=args.ckpt_step)
     dm = build_datamodule(cfg, stage="test")
     rngs = RngStream(args.seed)
 
-    if is_sfm:
+    if mesh is not None:
+        # spatially sharded sampling: native-resolution volumes across chips.
+        # campaigns draw one box at a time, so all devices go to the sp axis.
+        if cfg.parallel.n_data != 1:
+            ap.error("generation shards spatially; use parallel.n_sp=N (n_data=1)")
+        if is_sfm:
+            sharded = make_sharded_sfm_sampler(model, mesh, args.n_sampling_steps)
+            sample_fn = lambda p, x0, v: sharded(p, x0, v)
+        else:
+            sharded = make_sharded_vdm_sampler(model, mesh, 1, args.n_sampling_steps)
+            sample_fn = lambda p, r, s, v: sharded(p, r, s, v)
+    elif is_sfm:
         sample_fn = jax.jit(
             lambda p, x0, v: model.draw_samples(
                 p, x0, n_sampling_steps=args.n_sampling_steps, v_conditionings=v

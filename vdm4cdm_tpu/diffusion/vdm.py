@@ -244,11 +244,19 @@ class VDM:
         n_sampling_steps: int = 250,
         s_conditioning: Optional[jnp.ndarray] = None,
         v_conditionings: Sequence[jnp.ndarray] = (),
+        sample_shape: Optional[Tuple[int, ...]] = None,
     ) -> jnp.ndarray:
         """Ancestral sampling from the prior: returns normalized samples,
         channels-last (B, *spatial, C). 250 steps by default (reference
-        src/utils.py:277, test.ipynb cell 13). lax.scan over steps."""
-        shape = (batch_size,) + self.sample_shape_nlast
+        src/utils.py:277, test.ipynb cell 13). lax.scan over steps.
+
+        Works inside shard_map for spatially sharded sampling: pass the LOCAL
+        ``sample_shape`` (per-shard block); noise keys fold in the shard index
+        so the global field is iid while the time ladder stays shared."""
+        ctx = self.score_model.ctx
+        if ctx.axis is not None:
+            rng = jax.random.fold_in(rng, ctx.axis_index())
+        shape = (batch_size,) + (sample_shape or self.sample_shape_nlast)
         rng_z, rng_steps = jax.random.split(rng)
         z = jax.random.normal(rng_z, shape, jnp.float32)
         steps = jnp.linspace(1.0, 0.0, n_sampling_steps + 1)

@@ -1,0 +1,92 @@
+"""Spatially sharded sampling — generate native-resolution volumes across chips.
+
+The reference can only sample volumes that fit one GPU (and downsamples data to
+make them fit). Here the sampler itself runs under shard_map: the evolving
+z-field is sharded over the ``sp`` mesh axis, every UNet evaluation inside the
+scan halo-exchanges over ICI, and only the final field is gathered (or kept
+sharded for sharded evaluation).
+
+VDM: noise keys fold in the shard index (handled inside VDM.draw_samples), so
+the global initial z and all ancestral noise are iid while the time ladder is
+shared — statistically identical to unsharded sampling.
+SFM: the ODE is deterministic, so sharded and unsharded sampling agree to
+numerical precision — used as an end-to-end correctness test of the halo
+machinery (tests/test_sharded_sampling.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..utils.mesh import AXES
+from .shard import batch_pspec
+
+
+def make_sharded_vdm_sampler(
+    vdm_sharded,
+    mesh: Mesh,
+    batch_size: int = 1,
+    n_sampling_steps: int = 250,
+):
+    """Returns jitted sample(params, rng, s_conditioning, v_conditionings) with
+    the conditioning field + output sharded (data, sp). ``vdm_sharded`` must be
+    built with the mesh's ShardCtx (see parallel.shard.make_shard_ctx)."""
+    ctx = vdm_sharded.score_model.ctx
+    nd = vdm_sharded.score_model.ndim_spatial
+    n_sp = mesh.shape[AXES.sp]
+    n_data = mesh.shape[AXES.data]
+    assert batch_size % n_data == 0, "batch_size must divide the data axis"
+    local_batch = batch_size // n_data
+    gshape = vdm_sharded.sample_shape_nlast
+    local_shape = tuple(
+        s // n_sp if d == ctx.spatial_dim else s for d, s in enumerate(gshape[:-1])
+    ) + (gshape[-1],)
+    bspec = batch_pspec(nd)
+
+    def per_shard(params, rng, cond, vvals):
+        if ctx.data_axis is not None:  # distinct noise per data shard
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(ctx.data_axis))
+        return vdm_sharded.draw_samples(
+            params, rng, batch_size=local_batch, n_sampling_steps=n_sampling_steps,
+            s_conditioning=cond, v_conditionings=list(vvals),
+            sample_shape=local_shape,
+        )
+
+    fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(), bspec, P(AXES.data)),
+        out_specs=bspec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_sfm_sampler(
+    sfm_sharded,
+    mesh: Mesh,
+    n_sampling_steps: int = 250,
+    method: str = "heun",
+):
+    """Returns jitted sample(params, x0, v_conditionings): deterministic ODE
+    transport with x0 and the result sharded (data, sp)."""
+    nd = sfm_sharded.velocity_model.ndim_spatial
+    bspec = batch_pspec(nd)
+
+    def per_shard(params, x0, vvals):
+        return sfm_sharded.draw_samples(
+            params, x0, n_sampling_steps=n_sampling_steps,
+            v_conditionings=list(vvals), method=method,
+        )
+
+    fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), bspec, P(AXES.data)),
+        out_specs=bspec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
