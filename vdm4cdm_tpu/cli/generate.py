@@ -34,8 +34,11 @@ def main(argv=None):
     ap.add_argument("save_path", type=str)
     ap.add_argument("runtype", type=str,
                     choices=["CV_12_12", "CV_1_128", "1P_24", "1P_128"])
-    ap.add_argument("--ckpt-dir", type=str, required=True,
-                    help="orbax checkpoint dir of the trained run")
+    ap.add_argument("--ckpt-dir", type=str, default=None,
+                    help="orbax checkpoint dir (default: looked up in "
+                         "--model-registry by model name)")
+    ap.add_argument("--model-registry", type=str, default="configs/models.yaml",
+                    help="trained-model registry (configs.yaml equivalent)")
     ap.add_argument("--ckpt-step", type=int, default=None)
     ap.add_argument("--n-sampling-steps", type=int, default=250)
     ap.add_argument("--seed", type=int, default=0)
@@ -56,10 +59,24 @@ def main(argv=None):
     from ..utils.rng import RngStream
 
     os.makedirs(args.save_path, exist_ok=True)
-    cfg = get_preset(args.model_name)
+    registry_entry = {}
+    if args.ckpt_dir is None and os.path.exists(args.model_registry):
+        import yaml
+
+        reg = yaml.safe_load(open(args.model_registry)) or {}
+        registry_entry = reg.get(args.model_name) or {}
+        args.ckpt_dir = registry_entry.get("ckpt_dir")
+        if args.ckpt_step is None:
+            args.ckpt_step = registry_entry.get("ckpt_step")
+    if args.ckpt_dir is None:
+        ap.error(f"--ckpt-dir not given and {args.model_name!r} has no ckpt_dir "
+                 f"in {args.model_registry}")
+    cfg = get_preset(registry_entry.get("preset", args.model_name))
     from .train import parse_overrides
 
-    for k, v in parse_overrides(args.overrides).items():
+    overrides = dict(registry_entry.get("overrides") or {})
+    overrides.update(parse_overrides(args.overrides))
+    for k, v in overrides.items():
         section, _, field = k.partition(".")
         setattr(getattr(cfg, section), field, v)
     set_name = args.runtype.split("_")[0]

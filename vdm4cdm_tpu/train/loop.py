@@ -47,11 +47,37 @@ class TrainConfig:
 
 
 class _DeviceFeeder:
-    """Moves host batches to device ahead of compute (1-deep pipeline)."""
+    """Moves host batches to device; ``prefetch`` wraps a host iterator with a
+    background thread that stays one device_put ahead of compute, so H2D
+    transfer overlaps the previous step (JAX dispatch is already async; the
+    host->device copy is the serial part worth pipelining)."""
 
     def __init__(self, mesh: Optional[Mesh], ndim_spatial: int):
         self.mesh = mesh
         self.ndim_spatial = ndim_spatial
+
+    def prefetch(self, host_iter, depth: int = 2):
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+
+        def producer():
+            try:
+                for batch in host_iter:
+                    q.put(self.put(batch))
+                q.put(None)
+            except BaseException as e:
+                q.put(e)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
     def put(self, batch: dict) -> dict:
         if self.mesh is None:
@@ -128,11 +154,12 @@ class Trainer:
         host_step = start_step  # host mirror of state.step: no per-step device sync
         t_start = time.time()
 
-        for batch in datamodule.train_batches(max_steps, start_step=start_step):
+        host_iter = datamodule.train_batches(max_steps, start_step=start_step)
+        for dev_batch in self._feeder.prefetch(host_iter):
             if train_step is None:
                 batch_template = jax.tree.map(
-                    lambda a: a if a is None else jax.ShapeDtypeStruct(np.asarray(a).shape, np.asarray(a).dtype),
-                    batch, is_leaf=lambda a: a is None,
+                    lambda a: a if a is None else jax.ShapeDtypeStruct(a.shape, a.dtype),
+                    dev_batch, is_leaf=lambda a: a is None,
                 )
                 train_step = make_train_step(
                     self.model, self.optimizer, mesh=self.mesh,
@@ -142,7 +169,6 @@ class Trainer:
                     self.model, mesh=self.mesh,
                     batch_template=batch_template if self.mesh else None,
                 )
-            dev_batch = self._feeder.put(batch)
             step_rng = jax.random.fold_in(base_rng, host_step)
             state, metrics = train_step(state, dev_batch, step_rng)
             host_step += 1
