@@ -31,11 +31,29 @@ def make_mesh_from_config(cfg):
     return make_mesh(n_data=cfg.parallel.n_data, n_sp=cfg.parallel.n_sp)
 
 
+def unsharded_clone(model):
+    """Clone a VDM/SFM whose CUNet drops the ShardCtx — for code paths that
+    run outside shard_map (validation figures, small-scale sampling)."""
+    import dataclasses
+
+    from ..parallel.halo import NO_SHARD
+
+    if hasattr(model, "score_model"):
+        return dataclasses.replace(model, score_model=model.score_model.clone(ctx=NO_SHARD))
+    return dataclasses.replace(model, velocity_model=model.velocity_model.clone(ctx=NO_SHARD))
+
+
 def make_validation_figure_fn(cfg, model, dm):
     """Build the draw_figure hook: sample from the model and render the 2x3
-    validation panel (reference trainVDM3D_c_c...:91-112 wiring)."""
+    validation panel (reference trainVDM3D_c_c...:91-112 wiring).
+
+    Always samples on the unsharded model clone — the hook runs outside
+    shard_map (a couple of validation fields fit one chip even when training
+    is spatially sharded)."""
     import jax
     import jax.numpy as jnp
+
+    model = unsharded_clone(model)
 
     from ..evals import figures, spectra
     from ..utils.array import to_np
