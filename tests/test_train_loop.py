@@ -65,6 +65,40 @@ class TestTrainerVDM:
         assert diffs[-1] < diffs[0], diffs
 
 
+class TestWarmStart:
+    def test_params_load_across_runs(self, tiny_cfg):
+        """Warm-starting a new run from another run's checkpoint (the
+        reference's cross-resolution warm start, trainVDM3D_c_c...:134-135)."""
+        import jax
+
+        from vdm4cdm_tpu.train.checkpoint import load_params
+
+        net = CUNet(shape=(1, 16, 16), chs=(8, 8, 8, 8), norm_groups=4,
+                    dropout_prob=0.0)
+        vdm = VDM(net, make_schedule("learned_linear", -13.3, 13.3))
+        dm = GRFDataModule(size=16, ndim=2, batch_size=4,
+                           n_conditioning_values=0, mode="vdm", seed=1)
+        import dataclasses
+
+        cfg = dataclasses.replace(tiny_cfg, max_steps=12, val_check_interval=0,
+                                  ckpt_every_steps=12, experiment_name="src")
+        state = Trainer(vdm, cfg).fit(dm)
+
+        template = vdm.init_params(jax.random.PRNGKey(0))
+        warm = load_params(
+            os.path.join(cfg.out_dir, "src", "checkpoints"), template
+        )
+        trained_leaf = np.asarray(
+            jax.tree_util.tree_leaves(state.params["unet"])[0])
+        warm_leaf = np.asarray(jax.tree_util.tree_leaves(warm["unet"])[0])
+        np.testing.assert_array_equal(trained_leaf, warm_leaf)
+
+        # resume-free new experiment continues from the warm params
+        cfg2 = dataclasses.replace(cfg, experiment_name="dst", max_steps=2)
+        state2 = Trainer(vdm, cfg2).fit(dm, init_params=warm, max_steps=2)
+        assert int(state2.step) == 2
+
+
 class TestTrainerSFM:
     def test_fit(self, tiny_cfg):
         net = CUNet(shape=(1, 16, 16), chs=(8, 8, 8, 8), norm_groups=4,
