@@ -1,0 +1,26 @@
+# Developer entry points
+
+.PHONY: test test-fast native bench smoke dryrun clean
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -x -m "not slow" -k "not Sharded and not sharded"
+
+native: native/libfastloader.so
+
+native/libfastloader.so: native/fastloader.cpp
+	g++ -O3 -march=native -fno-math-errno -std=c++17 -shared -fPIC -pthread $< -o $@
+
+bench:
+	python bench.py
+
+smoke:
+	python examples/smoke_test.py --steps 100
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+clean:
+	rm -rf native/libfastloader.so **/__pycache__ .pytest_cache
