@@ -61,6 +61,42 @@ class TestConvSingleDevice:
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+class TestConvTapsBackend:
+    """The 'taps' conv backend (per-tap GEMMs) must match the XLA conv exactly
+    for stride-1, both paddings, 2D and 3D, and under grad."""
+
+    def _both(self, x, w, pm):
+        import vdm4cdm_tpu.ops.conv as convmod
+
+        ref = conv_nd(x, w, padding_mode=pm)
+        convmod._CONV_IMPL = "taps"
+        try:
+            got = conv_nd(x, w, padding_mode=pm)
+        finally:
+            convmod._CONV_IMPL = "xla"
+        return ref, got
+
+    @pytest.mark.parametrize("pm", ["zeros", "circular"])
+    def test_2d_3d(self, pm):
+        ref, got = self._both(_rand(0, (2, 8, 8, 3)), _rand(1, (3, 3, 3, 4)), pm)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+        ref, got = self._both(_rand(2, (1, 6, 6, 6, 2)), _rand(3, (3, 3, 3, 2, 2)), pm)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches(self):
+        import vdm4cdm_tpu.ops.conv as convmod
+
+        x = _rand(0, (1, 8, 8, 2))
+        w = _rand(1, (3, 3, 2, 2))
+        g_ref = jax.grad(lambda w: jnp.sum(conv_nd(x, w, padding_mode="circular") ** 2))(w)
+        convmod._CONV_IMPL = "taps"
+        try:
+            g_taps = jax.grad(lambda w: jnp.sum(conv_nd(x, w, padding_mode="circular") ** 2))(w)
+        finally:
+            convmod._CONV_IMPL = "xla"
+        np.testing.assert_allclose(g_taps, g_ref, rtol=1e-4, atol=1e-5)
+
+
 # --------------------------------------------------------------- halo exchange
 class TestHalo:
     def test_unsharded_wrap(self):

@@ -19,6 +19,8 @@ activation dtype (bf16 compute supported).
 
 from __future__ import annotations
 
+import itertools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -28,6 +30,12 @@ from jax import lax
 from ..parallel.halo import NO_SHARD, ShardCtx, halo_exchange
 
 _SPATIAL_CHARS = "DHW"
+
+# Convolution backend: "xla" = lax.conv_general_dilated; "taps" = explicit
+# pad + per-tap shifted matmuls (M = all voxels, K = Cin, N = Cout per tap).
+# The taps form can beat XLA's conv lowering for thin-channel 3D convs on TPU
+# (MXU-dense GEMMs, no window logic); selected empirically per hardware.
+_CONV_IMPL = os.environ.get("VDM4CDM_CONV_IMPL", "xla")
 
 
 def _dim_numbers(nd: int):
@@ -78,17 +86,41 @@ def conv_nd(
         x = jnp.pad(x, pad_width, mode="wrap")
         conv_pads = [(0, 0)] * nd
 
-    # No explicit preferred_element_type: with bf16 operands the TPU MXU still
-    # accumulates in f32 internally, and an explicit f32 upcast + downcast
-    # breaks the conv transpose rule (cotangent arrives f32 against bf16
-    # primals in the grad-w conv).
-    out = lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
-        window_strides=stride,
-        padding=conv_pads,
-        dimension_numbers=_dim_numbers(nd),
-    )
+    if _CONV_IMPL == "taps" and all(s == 1 for s in stride):
+        out = _conv_taps(x, w.astype(x.dtype), conv_pads)
+    else:
+        # No explicit preferred_element_type: with bf16 operands the TPU MXU
+        # still accumulates in f32 internally, and an explicit f32 upcast +
+        # downcast breaks the conv transpose rule (cotangent arrives f32
+        # against bf16 primals in the grad-w conv).
+        out = lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=stride,
+            padding=conv_pads,
+            dimension_numbers=_dim_numbers(nd),
+        )
     if b is not None:
         out = out + b.astype(out.dtype)
+    return out
+
+
+def _conv_taps(x: jnp.ndarray, w: jnp.ndarray, pads) -> jnp.ndarray:
+    """Stride-1 conv as an explicit sum of per-tap GEMMs over a zero-padded
+    volume: out = sum_t shift(x, t) @ w[t]. Each GEMM has M = prod(spatial)
+    (huge), K = Cin, N = Cout — clean MXU tiles regardless of window shape."""
+    nd = x.ndim - 2
+    ksizes = w.shape[:-2]
+    pad_width = [(0, 0)] + list(pads) + [(0, 0)]
+    xp = jnp.pad(x, pad_width) if any(p != (0, 0) for p in pads) else x
+    out_spatial = tuple(
+        xp.shape[1 + d] - (ksizes[d] - 1) for d in range(nd)
+    )
+    out = None
+    for taps in itertools.product(*(range(k) for k in ksizes)):
+        sl = (slice(None),) + tuple(
+            slice(t, t + out_spatial[d]) for d, t in enumerate(taps)
+        ) + (slice(None),)
+        term = xp[sl] @ w[taps]
+        out = term if out is None else out + term
     return out
