@@ -136,6 +136,30 @@ class TestCAMELSDataModule:
         for a, b in zip(run1[3:], run2):
             np.testing.assert_array_equal(a, b)
 
+    def test_multihost_sharding(self, synth_registry):
+        """Per-host batch shards must tile the single-host global batch."""
+        reg_dir, root = synth_registry
+        dm = get_dataset(reg_dir, channel_names=["Mstar", "Mcdm"],
+                         return_func=vdm_cc_return_func, stage="fit",
+                         batch_size=4, cropsize=8, ndim=3, data_root=root)
+        dm.use_native = False  # python path: augmentation rng is per-sample... use test stage instead
+        full = next(dm.train_batches(1))
+        shards = []
+        for p in range(2):
+            dmp = get_dataset(reg_dir, channel_names=["Mstar", "Mcdm"],
+                              return_func=vdm_cc_return_func, stage="fit",
+                              batch_size=4, cropsize=8, ndim=3, data_root=root)
+            dmp.use_native = False
+            dmp.process_index, dmp.process_count = p, 2
+            shards.append(next(dmp.train_batches(1)))
+        assert shards[0]["x"].shape[0] == 2
+        # same sample set overall (augmentation rng streams differ per host, so
+        # compare the conditioning_values, which are augmentation-independent)
+        pv_full = np.sort(full["conditioning_values"][0].ravel())
+        pv_shards = np.sort(np.concatenate(
+            [s["conditioning_values"][0] for s in shards]).ravel())
+        np.testing.assert_allclose(pv_shards, pv_full)
+
     def test_unnorm_roundtrip_through_module(self, synth_registry):
         reg_dir, root = synth_registry
         dm = get_dataset(reg_dir, channel_names=["Mcdm"], stage="test",

@@ -79,6 +79,11 @@ class CAMELSDataModule:
     # per batch instead of ~5 numpy intermediates per sample. The Python path
     # is the oracle (tests/test_native_loader.py proves exact equivalence).
     use_native: bool = True
+    # Multi-host data parallelism: this host serves batch rows
+    # [process_index::process_count] of each global batch (global batch_size
+    # must divide evenly). Single-host by default.
+    process_index: int = 0
+    process_count: int = 1
 
     def __post_init__(self):
         assert self.stage in ("fit", "test"), f"stage {self.stage} not recognized"
@@ -241,8 +246,16 @@ class CAMELSDataModule:
         work = queue.Queue(maxsize=4 * max(1, self.num_workers))
 
         native_kind = self._native_kind()
+        if self.process_count > 1:
+            assert bs % self.process_count == 0, (
+                f"batch_size {bs} must divide over {self.process_count} hosts"
+            )
 
         def make_batch(batch_idx, start):
+            # multi-host: identical shuffles everywhere (same epoch_seed), each
+            # host materializes only its stride of the global batch
+            if self.process_count > 1:
+                batch_idx = batch_idx[self.process_index :: self.process_count]
             sample_rng = np.random.default_rng((epoch_seed, int(start)))
             if native_kind is not None:
                 return self._native_batch(batch_idx, sample_rng, augment, native_kind)
