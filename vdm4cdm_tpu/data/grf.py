@@ -11,8 +11,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Iterator, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 

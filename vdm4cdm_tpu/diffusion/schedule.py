@@ -20,7 +20,7 @@ and the noise injection both differentiate through them).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ arrays (C, *spatial) to match the reference's hook signatures.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -21,7 +21,7 @@ here. Runs fully jitted (FFT-domain convolutions, vmapped over the bank).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 from typing import Tuple
 
 import jax

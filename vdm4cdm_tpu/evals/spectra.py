@@ -13,7 +13,6 @@ loops per-sample on the host; here ``pk`` is one vmapped kernel).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

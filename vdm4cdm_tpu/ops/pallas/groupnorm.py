@@ -38,36 +38,47 @@ def pallas_available() -> bool:
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, acc_ref, *, groups: int,
                eps: float, act: Optional[str], n_tiles: int, count: float):
+    """Mosaic-safe formulation: per-CHANNEL sums only (no lane-dim reshape —
+    Mosaic can't shape-cast the lane dimension), with channel<->group mixing
+    done by one-hot indicator matmuls (MXU ops)."""
     phase = pl.program_id(1)
     tile = pl.program_id(2)
 
-    cpg = x_ref.shape[-1] // groups
+    c = x_ref.shape[-1]
+    cpg = c // groups
 
     @pl.when(jnp.logical_and(phase == 0, tile == 0))
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:]  # (TILE_S, C)
+    x = x_ref[:]  # (1, TILE_S, C)
 
     @pl.when(phase == 0)
     def _():
-        xg = x.astype(jnp.float32).reshape(-1, groups, cpg)
-        acc_ref[0, :] += jnp.sum(xg, axis=(0, 2))
-        acc_ref[1, :] += jnp.sum(xg * xg, axis=(0, 2))
+        xf = x.astype(jnp.float32)
+        acc_ref[0:1, :] += jnp.sum(xf, axis=1)      # (1, C)
+        acc_ref[1:2, :] += jnp.sum(xf * xf, axis=1)
 
     @pl.when(phase == 1)
     def _():
-        s1 = acc_ref[0, :]
-        s2 = acc_ref[1, :]
-        mean = s1 / count
-        var = s2 / count - mean * mean
-        inv = jax.lax.rsqrt(var + eps)  # (G,)
-        # broadcast per-group stats to per-channel
-        inv_c = jnp.repeat(inv, cpg)
-        mean_c = jnp.repeat(mean, cpg)
-        a = inv_c * scale_ref[:].astype(jnp.float32)
+        # channel -> group indicator M[c, g] = (c // cpg == g); all operands
+        # stay 2D (Mosaic requires >=2D vector ops on TPU).
+        cids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cpg
+        gids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+        M = (cids == gids).astype(jnp.float32)  # (C, G)
+        s1 = acc_ref[0:1, :]  # (1, C)
+        s2 = acc_ref[1:2, :]
+        s1_g = jnp.dot(s1, M, preferred_element_type=jnp.float32)  # (1, G)
+        s2_g = jnp.dot(s2, M, preferred_element_type=jnp.float32)
+        mean_g = s1_g / count
+        var_g = s2_g / count - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + eps)  # (1, G)
+        # group -> channel broadcast via M^T (as (G, C) dot)
+        inv_c = jnp.dot(inv_g, M.T, preferred_element_type=jnp.float32)  # (1, C)
+        mean_c = jnp.dot(mean_g, M.T, preferred_element_type=jnp.float32)
+        a = inv_c * scale_ref[:].astype(jnp.float32)       # (1, C)
         b = bias_ref[:].astype(jnp.float32) - mean_c * a
-        out = x.astype(jnp.float32) * a[None, :] + b[None, :]
+        out = x.astype(jnp.float32) * a[None] + b[None]    # (1, S, C)
         if act == "silu":
             out = out * jax.nn.sigmoid(out)
         o_ref[:] = out.astype(o_ref.dtype)
@@ -121,8 +132,10 @@ def fused_group_norm(
     s = int(np.prod(x.shape[1:-1]))
     xf = x.reshape(b, s, c)
 
-    # spatial tile: multiple of 8 sublanes, capped to keep the block in VMEM
-    tile_s = min(s, max(8, (2 ** 20) // max(c, 1) // 8 * 8))
+    # spatial tile: multiple of 8 sublanes. Budget ~64K elements per block —
+    # phase 1 holds the block plus f32 temps, double-buffered, inside the
+    # 16 MB scoped-VMEM limit.
+    tile_s = min(s, max(8, (1 << 16) // max(c, 1) // 8 * 8))
     while s % tile_s:
         tile_s //= 2
     tile_s = max(tile_s, 1)
@@ -136,12 +149,12 @@ def fused_group_norm(
         grid=(b, 2, n_tiles),
         in_specs=[
             pl.BlockSpec((1, tile_s, c), lambda b, p, t: (b, t, 0)),
-            pl.BlockSpec((c,), lambda b, p, t: (0,)),
-            pl.BlockSpec((c,), lambda b, p, t: (0,)),
+            pl.BlockSpec((1, c), lambda b, p, t: (0, 0)),
+            pl.BlockSpec((1, c), lambda b, p, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile_s, c), lambda b, p, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((2, groups), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         interpret=interpret,
-    )(xf, scale, bias)
+    )(xf, scale.reshape(1, c), bias.reshape(1, c))
     return out.reshape(orig_shape)

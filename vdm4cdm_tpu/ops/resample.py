@@ -11,8 +11,6 @@ because the repeat+conv pair fuses cleanly in XLA.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from ..parallel.halo import NO_SHARD, ShardCtx

@@ -16,11 +16,7 @@ machinery (tests/test_sharded_sampling.py).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Sequence
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.mesh import AXES

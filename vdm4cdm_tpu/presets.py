@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
-from .config import DataConfig, ExperimentConfig, ModelConfig, ParallelConfig, RunConfig
+from .config import DataConfig, ExperimentConfig, ModelConfig, RunConfig
 
 _CHS_2D = (48, 96, 192, 384)       # reference train_uc_uc_from_field_name.py:60
 _CHS_3D_MID = (32, 64, 128, 256)   # reference configs.yaml:115-119 (<=192^3)

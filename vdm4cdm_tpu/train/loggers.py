@@ -10,7 +10,6 @@ gamma endpoints) and the same 2x3 validation figure (evals/figures.py).
 from __future__ import annotations
 
 import csv
-import json
 import os
 import time
 from typing import Dict, Optional

@@ -15,12 +15,11 @@ its CUNet (models/cunet.py handles halo exchange / GroupNorm psums per-op).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.shard import batch_pspec
 from ..utils.mesh import AXES

@@ -27,8 +27,6 @@ class TensorBoardLogger(Logger):
         self._writer.flush()
 
     def log_figure(self, step: int, name: str, fig):
-        import numpy as np
-
         buf = io.BytesIO()
         fig.savefig(buf, format="png", dpi=80)
         buf.seek(0)
