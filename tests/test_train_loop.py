@@ -99,6 +99,36 @@ class TestWarmStart:
         assert int(state2.step) == 2
 
 
+class TestEMA:
+    def test_ema_tracks_and_checkpoints(self, tiny_cfg):
+        import dataclasses
+
+        import jax
+
+        from vdm4cdm_tpu.train.checkpoint import load_params
+
+        net = CUNet(shape=(1, 16, 16), chs=(8, 8, 8, 8), norm_groups=4,
+                    dropout_prob=0.0)
+        vdm = VDM(net, make_schedule("learned_linear", -13.3, 13.3))
+        dm = GRFDataModule(size=16, ndim=2, batch_size=4,
+                           n_conditioning_values=0, mode="vdm", seed=1)
+        cfg = dataclasses.replace(tiny_cfg, max_steps=10, val_check_interval=0,
+                                  ckpt_every_steps=10, experiment_name="ema",
+                                  ema_decay=0.9)
+        state = Trainer(vdm, cfg).fit(dm)
+        assert state.ema_params is not None
+        p = np.asarray(jax.tree_util.tree_leaves(state.params["unet"])[0])
+        e = np.asarray(jax.tree_util.tree_leaves(state.ema_params["unet"])[0])
+        assert np.abs(p - e).max() > 0  # EMA lags the raw params
+
+        # generation-path load prefers the EMA weights
+        template = vdm.init_params(jax.random.PRNGKey(0))
+        loaded = load_params(os.path.join(cfg.out_dir, "ema", "checkpoints"),
+                             template, prefer_ema=True)
+        le = np.asarray(jax.tree_util.tree_leaves(loaded["unet"])[0])
+        np.testing.assert_array_equal(le, e)
+
+
 class TestTrainerSFM:
     def test_fit(self, tiny_cfg):
         net = CUNet(shape=(1, 16, 16), chs=(8, 8, 8, 8), norm_groups=4,

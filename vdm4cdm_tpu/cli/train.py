@@ -79,6 +79,7 @@ def main(argv=None):
         experiment_name=cfg.run.experiment_name,
         resume=cfg.run.resume,
         n_figure_sampling_steps=cfg.run.n_figure_sampling_steps,
+        ema_decay=cfg.run.ema_decay,
     )
     draw_figure = make_validation_figure_fn(cfg, model, dm)
     trainer = Trainer(model, tc, mesh=mesh, draw_figure=draw_figure)

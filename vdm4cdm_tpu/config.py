@@ -89,6 +89,7 @@ class RunConfig:
     resume: bool = True
     warm_start_ckpt: Optional[str] = None  # load params from another run
     n_figure_sampling_steps: int = 250
+    ema_decay: float = 0.0  # >0 tracks an EMA of params; sampling prefers it
 
 
 @dataclasses.dataclass

@@ -37,11 +37,10 @@ class CheckpointManager:
             step = int(state.step)
         if step in (self._mgr.all_steps() or []):
             return False  # periodic save already wrote this step
-        return self._mgr.save(
-            step,
-            args=ocp.args.StandardSave({"params": state.params, "opt_state": state.opt_state}),
-            force=force,
-        )
+        payload = {"params": state.params, "opt_state": state.opt_state}
+        if state.ema_params is not None:
+            payload["ema_params"] = state.ema_params
+        return self._mgr.save(step, args=ocp.args.StandardSave(payload), force=force)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -52,13 +51,13 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             return None
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.StandardRestore(
-                {"params": state_template.params, "opt_state": state_template.opt_state}
-            ),
-        )
-        return TrainState(step, restored["params"], restored["opt_state"])
+        template = {"params": state_template.params,
+                    "opt_state": state_template.opt_state}
+        if state_template.ema_params is not None:
+            template["ema_params"] = state_template.ema_params
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return TrainState(step, restored["params"], restored["opt_state"],
+                          restored.get("ema_params"))
 
     def restore_params(self, params_template: Any, step: Optional[int] = None,
                        directory: Optional[str] = None):
@@ -74,12 +73,14 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def load_params(directory: str, params_template, step: Optional[int] = None):
+def load_params(directory: str, params_template, step: Optional[int] = None,
+                prefer_ema: bool = True):
     """One-shot params load from a checkpoint directory.
 
     Restores the full saved tree structure-free (checkpoints also hold
     opt_state, which callers like generation don't model), then maps the
-    params subtree onto the template's dtypes."""
+    params subtree onto the template's dtypes. When the checkpoint carries an
+    EMA shadow and prefer_ema is set, generation gets the EMA weights."""
     mgr = ocp.CheckpointManager(os.path.abspath(directory))
     if step is None:
         step = mgr.latest_step()
@@ -87,7 +88,7 @@ def load_params(directory: str, params_template, step: Optional[int] = None):
         raise FileNotFoundError(f"no checkpoint found in {directory}")
     out = mgr.restore(step, args=ocp.args.StandardRestore())
     mgr.close()
-    params = out["params"]
+    params = out["ema_params"] if (prefer_ema and "ema_params" in out) else out["params"]
     if params_template is not None:
         params = jax.tree.map(
             lambda tmpl, val: jax.numpy.asarray(val, dtype=tmpl.dtype),

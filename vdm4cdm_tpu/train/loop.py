@@ -15,6 +15,7 @@ import time
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -43,6 +44,7 @@ class TrainConfig:
     resume: bool = True
     figure_interval: Optional[int] = None  # default: val_check_interval
     n_figure_sampling_steps: int = 250
+    ema_decay: float = 0.0  # >0 enables an EMA shadow of params (e.g. 0.9999)
 
 
 class _DeviceFeeder:
@@ -126,7 +128,11 @@ class Trainer:
     def init_state(self, rng: jax.Array, init_params=None) -> TrainState:
         params = init_params if init_params is not None else self.model.init_params(rng)
         opt_state = self.optimizer.init(params)
-        return TrainState(0, params, opt_state)
+        # EMA must be a distinct buffer copy — aliasing params would make the
+        # donated train step donate the same buffer twice.
+        ema = (jax.tree.map(lambda p: jnp.array(p), params)
+               if self.config.ema_decay > 0 else None)
+        return TrainState(0, params, opt_state, ema)
 
     def fit(
         self,
@@ -163,6 +169,7 @@ class Trainer:
                 train_step = make_train_step(
                     self.model, self.optimizer, mesh=self.mesh,
                     batch_template=batch_template if self.mesh else None,
+                    ema_decay=self.config.ema_decay,
                 )
                 eval_step = make_eval_step(
                     self.model, mesh=self.mesh,

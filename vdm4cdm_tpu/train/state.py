@@ -17,6 +17,10 @@ class TrainState:
     step: int
     params: Any
     opt_state: Any
+    # Exponential moving average of params (None = disabled). Standard
+    # diffusion-quality practice the reference lacks; sampled from when
+    # present (generation prefers EMA weights).
+    ema_params: Any = None
 
 
 def make_optimizer(

@@ -49,13 +49,19 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     batch_template: Optional[dict] = None,
+    ema_decay: float = 0.0,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Returns step(state, batch, rng) -> (state, metrics). Jitted; donates state."""
 
-    def _update(params, opt_state, grads):
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state
+    def _update(state: TrainState, grads):
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema_decay > 0.0 and ema is not None:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + (1.0 - ema_decay) * p, ema, params
+            )
+        return params, opt_state, ema
 
     if mesh is None:
 
@@ -65,8 +71,8 @@ def make_train_step(
                 lambda p: _loss_and_metrics(model, p, batch, rng), has_aux=True
             )(state.params)
             metrics["grad_norm"] = optax.global_norm(grads)
-            params, opt_state = _update(state.params, state.opt_state, grads)
-            return TrainState(state.step + 1, params, opt_state), metrics
+            params, opt_state, ema = _update(state, grads)
+            return TrainState(state.step + 1, params, opt_state, ema), metrics
 
         return step
 
@@ -85,8 +91,8 @@ def make_train_step(
         grads = jax.lax.pmean(grads, axes)
         metrics = jax.lax.pmean(metrics, axes)
         metrics["grad_norm"] = optax.global_norm(grads)
-        params, opt_state = _update(state.params, state.opt_state, grads)
-        return TrainState(state.step + 1, params, opt_state), metrics
+        params, opt_state, ema = _update(state, grads)
+        return TrainState(state.step + 1, params, opt_state, ema), metrics
 
     sharded = jax.shard_map(
         shard_step,
