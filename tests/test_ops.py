@@ -61,6 +61,45 @@ class TestConvSingleDevice:
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+class TestCircularFacefix:
+    """The facefix circular conv (zero conv + per-face wrap corrections) must
+    equal the wrap-pad oracle exactly — values and gradients, any rank/kernel."""
+
+    @pytest.mark.parametrize("shape,kshape", [
+        ((2, 8, 8, 3), (3, 3, 3, 4)),
+        ((1, 6, 6, 6, 2), (3, 3, 3, 2, 2)),
+        ((1, 5, 7, 2), (3, 3, 2, 3)),       # odd, non-square
+        ((1, 8, 2), (3, 2, 2)),             # 1D
+        ((1, 8, 8, 1), (5, 5, 1, 1)),       # k=5 (2-thick faces)
+    ])
+    def test_matches_pad_oracle(self, shape, kshape):
+        import vdm4cdm_tpu.ops.conv as convmod
+
+        x = _rand(0, shape)
+        w = _rand(1, kshape)
+        convmod._CIRCULAR_IMPL = "pad"
+        try:
+            ref = conv_nd(x, w, padding_mode="circular")
+        finally:
+            convmod._CIRCULAR_IMPL = "facefix"
+        got = conv_nd(x, w, padding_mode="circular")
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_grad_matches_oracle(self):
+        import vdm4cdm_tpu.ops.conv as convmod
+
+        x = _rand(0, (1, 6, 6, 2))
+        w = _rand(1, (3, 3, 2, 2))
+        loss = lambda w: jnp.sum(conv_nd(x, w, padding_mode="circular") ** 2)
+        convmod._CIRCULAR_IMPL = "pad"
+        try:
+            g_ref = jax.grad(loss)(w)
+        finally:
+            convmod._CIRCULAR_IMPL = "facefix"
+        g_fix = jax.grad(loss)(w)
+        np.testing.assert_allclose(g_fix, g_ref, rtol=1e-4, atol=1e-4)
+
+
 class TestConvTapsBackend:
     """The 'taps' conv backend (per-tap GEMMs) must match the XLA conv exactly
     for stride-1, both paddings, 2D and 3D, and under grad."""

@@ -37,6 +37,14 @@ _SPATIAL_CHARS = "DHW"
 # (MXU-dense GEMMs, no window logic); selected empirically per hardware.
 _CONV_IMPL = os.environ.get("VDM4CDM_CONV_IMPL", "xla")
 
+# Circular padding strategy: "facefix" computes the zero-padded conv (XLA's
+# fast internal-padding path, no materialized copy, aligned shapes) and adds
+# the exact wraparound contributions via thin per-face convolutions — measured
+# ~17% faster forward at 128^3 than materializing a wrap-padded 130^3 tensor
+# before every conv. "pad" is the straightforward jnp.pad(mode="wrap") path
+# (the correctness oracle).
+_CIRCULAR_IMPL = os.environ.get("VDM4CDM_CIRCULAR_IMPL", "facefix")
+
 
 def _dim_numbers(nd: int):
     sp = _SPATIAL_CHARS[-nd:]
@@ -68,6 +76,7 @@ def conv_nd(
     periodic = padding_mode == "circular"
 
     conv_pads = list(pads)
+    facefix_dims: list[int] = []
     if ctx.axis is not None:
         # sharded dim: halo exchange replaces local padding
         lo, hi = pads[ctx.spatial_dim]
@@ -82,12 +91,19 @@ def conv_nd(
             if any(p != (0, 0) for p in pad_width):
                 x = jnp.pad(x, pad_width, mode="wrap")
     elif periodic:
-        pad_width = [(0, 0)] + list(conv_pads) + [(0, 0)]
-        x = jnp.pad(x, pad_width, mode="wrap")
-        conv_pads = [(0, 0)] * nd
+        if _CIRCULAR_IMPL == "facefix" and all(s == 1 for s in stride) and all(
+            k % 2 == 1 and x.shape[1 + d] >= k for d, k in enumerate(ksizes)
+        ):
+            facefix_dims = list(range(nd))  # zero-conv + per-face corrections
+        else:
+            pad_width = [(0, 0)] + list(conv_pads) + [(0, 0)]
+            x = jnp.pad(x, pad_width, mode="wrap")
+            conv_pads = [(0, 0)] * nd
 
-    if _CONV_IMPL == "taps" and all(s == 1 for s in stride):
+    if _CONV_IMPL == "taps" and all(s == 1 for s in stride) and not facefix_dims:
         out = _conv_taps(x, w.astype(x.dtype), conv_pads)
+    elif facefix_dims:
+        out = _conv_circular_facefix(x, w.astype(x.dtype))
     else:
         # No explicit preferred_element_type: with bf16 operands the TPU MXU
         # still accumulates in f32 internally, and an explicit f32 upcast +
@@ -103,6 +119,90 @@ def conv_nd(
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
+
+
+def _conv_mixed(x: jnp.ndarray, w: jnp.ndarray, circ_dims) -> jnp.ndarray:
+    """SAME conv with circular padding on ``circ_dims`` (wrap-pad; these are
+    thin slabs here, so the copies are negligible) and zero padding elsewhere."""
+    nd = x.ndim - 2
+    if nd == 0:  # no spatial dims left: the "conv" is a plain channel matmul
+        return x @ w
+    ksizes = w.shape[:-2]
+    pads = [(k // 2, (k - 1) // 2) for k in ksizes]
+    pad_width = [(0, 0)] * x.ndim
+    conv_pads = []
+    for d in range(nd):
+        if d in circ_dims and pads[d] != (0, 0):
+            pad_width[1 + d] = pads[d]
+            conv_pads.append((0, 0))
+        else:
+            conv_pads.append(pads[d])
+    if any(p != (0, 0) for p in pad_width):
+        x = jnp.pad(x, pad_width, mode="wrap")
+    return lax.conv_general_dilated(
+        x, w, (1,) * nd, conv_pads, dimension_numbers=_dim_numbers(nd)
+    )
+
+
+def _conv_circular_facefix(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Exact circular stride-1 conv without materializing a wrap-padded volume.
+
+    y = zero-padded SAME conv + per-dimension boundary corrections. The taps a
+    zero conv misses are exactly those whose window wrapped in >=1 dims;
+    partition them by the FIRST dimension they wrap in: the dim-d correction
+    convolves the p-thick boundary slabs of x with the corresponding kernel
+    slices, circular in later dims (covers joint wraps with them) and zero in
+    earlier dims (already covered by their corrections).
+    """
+    nd = x.ndim - 2
+    ksizes = w.shape[:-2]
+    y = lax.conv_general_dilated(
+        x, w, (1,) * nd,
+        [(k // 2, (k - 1) // 2) for k in ksizes],
+        dimension_numbers=_dim_numbers(nd),
+    )
+    for d in range(nd):
+        k = ksizes[d]
+        p = k // 2
+        if p == 0:
+            continue
+        n = x.shape[1 + d]
+        later = set(range(d + 1, nd))
+
+        def take(arr, idx_lo, idx_hi, dim=d):
+            sl = [slice(None)] * arr.ndim
+            sl[1 + dim] = slice(idx_lo, idx_hi)
+            return arr[tuple(sl)]
+
+        # kernel slices along dim d: w_t has the remaining dims' extents
+        def wslice(t):
+            sl = [slice(None)] * w.ndim
+            sl[d] = t
+            return w[tuple(sl)]
+
+        # low output faces o in [0, p): taps t in [-p, -1-o] wrap to x[n+o+t]
+        for o in range(p):
+            term = None
+            for t in range(-p, -o):
+                src = take(x, (n + o + t), (n + o + t) + 1)  # one slice, thickness 1
+                contrib = _conv_mixed(
+                    jnp.squeeze(src, axis=1 + d), wslice(t + p),
+                    {dd - 1 for dd in later},
+                )
+                term = contrib if term is None else term + contrib
+            y = y.at[tuple([slice(None)] * (1 + d) + [o])].add(term)
+        # high output faces o in [n-p, n): taps t in [n-o, p] wrap to x[o+t-n]
+        for o in range(n - p, n):
+            term = None
+            for t in range(n - o, p + 1):
+                src = take(x, (o + t - n), (o + t - n) + 1)
+                contrib = _conv_mixed(
+                    jnp.squeeze(src, axis=1 + d), wslice(t + p),
+                    {dd - 1 for dd in later},
+                )
+                term = contrib if term is None else term + contrib
+            y = y.at[tuple([slice(None)] * (1 + d) + [o])].add(term)
+    return y
 
 
 def _conv_taps(x: jnp.ndarray, w: jnp.ndarray, pads) -> jnp.ndarray:
