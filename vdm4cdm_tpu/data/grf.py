@@ -33,7 +33,7 @@ def gaussian_random_field(
     k[tuple([0] * ndim)] = 1.0
     fw *= k ** (slope / 2.0)
     fw[tuple([0] * ndim)] = 0.0
-    f = np.fft.irfftn(fw, s=shape)
+    f = np.fft.irfftn(fw, s=shape, axes=tuple(range(ndim)))
     f = f / (f.std() + 1e-12) * amp
     return f[None].astype(np.float32)
 
