@@ -183,6 +183,10 @@ class CUNet(nn.Module):
     # native-resolution 3D volumes (a 128^3 batch-2 train step OOMs a 16 GB
     # chip without it; with it there is room to spare). ~25-30% extra FLOPs.
     remat: bool = False
+    # Selective remat: only levels < remat_levels rematerialize (the shallow,
+    # full-resolution levels hold nearly all activation bytes; deeper levels'
+    # activations are cheap to keep). None = all levels when remat is set.
+    remat_levels: Optional[int] = None
 
     @property
     def ndim_spatial(self) -> int:
@@ -229,14 +233,20 @@ class CUNet(nn.Module):
             vemb = nn.Dense(emb_dim, name=f"v_dense1_{i}")(nn.silu(vemb))
             emb = vemb if emb is None else emb + vemb
 
-        Res = nn.remat(ResBlock) if self.remat else ResBlock
+        rematted = nn.remat(ResBlock)
+
+        def Res(level, *args, **kw):
+            use = self.remat and (
+                self.remat_levels is None or level < self.remat_levels
+            )
+            return (rematted if use else ResBlock)(*args, **kw)
 
         # -- encoder ----------------------------------------------------------
         h = _Conv(self.chs[0], 3, padding_mode=pm, ctx=ctx, name="conv_in")(x)
         skips = [h]
         for level, ch in enumerate(self.chs):
             for blk in range(self.num_res_blocks):
-                h = Res(ch, ng, self.dropout_prob, pm, ctx, train,
+                h = Res(level, ch, ng, self.dropout_prob, pm, ctx, train,
                         name=f"down_{level}_{blk}")(h, emb)
                 skips.append(h)
             if level < len(self.chs) - 1:
@@ -245,16 +255,19 @@ class CUNet(nn.Module):
                 skips.append(h)
 
         # -- bottleneck ---------------------------------------------------------
-        h = Res(self.chs[-1], ng, self.dropout_prob, pm, ctx, train, name="mid_0")(h, emb)
+        mid_level = len(self.chs) - 1
+        h = Res(mid_level, self.chs[-1], ng, self.dropout_prob, pm, ctx, train,
+                name="mid_0")(h, emb)
         if self.mid_attn:
             h = AttentionBlock(self.n_attention_heads, ng, ctx, name="mid_attn")(h)
-        h = Res(self.chs[-1], ng, self.dropout_prob, pm, ctx, train, name="mid_1")(h, emb)
+        h = Res(mid_level, self.chs[-1], ng, self.dropout_prob, pm, ctx, train,
+                name="mid_1")(h, emb)
 
         # -- decoder ----------------------------------------------------------
         for level, ch in reversed(list(enumerate(self.chs))):
             for blk in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = Res(ch, ng, self.dropout_prob, pm, ctx, train,
+                h = Res(level, ch, ng, self.dropout_prob, pm, ctx, train,
                         name=f"up_{level}_{blk}")(h, emb)
             if level > 0:
                 h = upsample_nearest(h)
