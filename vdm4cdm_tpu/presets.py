@@ -37,7 +37,11 @@ def _vdm2d(in_field: Optional[str], cond_values: int, out_field="Mcdm") -> Exper
 def _vdm3d(cropsize: int, chs, dataset_name: str, in_field="Mstar",
            cond_values: int = 6, batch_size: int = 2) -> ExperimentConfig:
     return ExperimentConfig(
-        model=ModelConfig(family="vdm", ndim=3, chs=chs),
+        # TPU-first defaults for 3D volumes: bf16 activations (MXU-native,
+        # f32 params/ELBO unaffected) + ResBlock remat (a 128^3 batch-2 step
+        # does not fit 16 GB HBM without it — measured, docs/DESIGN.md §5)
+        model=ModelConfig(family="vdm", ndim=3, chs=chs,
+                          compute_dtype="bfloat16", remat=True),
         data=DataConfig(
             kind="camels", dataset_name=dataset_name, in_field=in_field,
             out_field="Mcdm", cropsize=cropsize, batch_size=batch_size,
