@@ -138,6 +138,30 @@ class TestLoss:
         assert np.isfinite(float(g["gamma"]["b"]))
 
 
+class TestFlagshipConfigPath:
+    def test_bf16_remat_grad(self):
+        """The TPU-first training defaults (bf16 activations + ResBlock remat)
+        must produce finite f32 grads for both the UNet and the schedule."""
+        unet = CUNet(shape=(1, 16, 16), chs=(8, 8, 8, 8), norm_groups=4,
+                     s_conditioning_channels=1, v_conditioning_dims=(6,),
+                     conv_padding_mode="circular", compute_dtype=jnp.bfloat16,
+                     remat=True, dropout_prob=0.1)
+        vdm = VDM(unet, make_schedule("learned_linear", GMIN, GMAX))
+        params = vdm.init_params(jax.random.PRNGKey(0))
+        batch = {
+            "x": jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1)),
+            "conditioning": jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 1)),
+            "conditioning_values": [jnp.ones((2, 6))],
+        }
+        g = jax.jit(jax.grad(
+            lambda p: vdm.loss(p, batch, jax.random.PRNGKey(3), train=True).loss
+        ))(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
 class TestSampler:
     def test_draw_samples_shape_and_prior(self, tiny_vdm):
         vdm, params = tiny_vdm
