@@ -7,9 +7,6 @@ doing halo exchange / psum through the ShardCtx.
 
 from __future__ import annotations
 
-from typing import Callable
-
-import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.mesh import AXES
@@ -29,14 +26,3 @@ def batch_pspec(ndim_spatial: int) -> P:
     return P(AXES.data, *spatial, None)
 
 
-def shard_module_apply(
-    mesh: Mesh,
-    fn: Callable,
-    in_specs,
-    out_specs,
-):
-    """Thin jax.shard_map wrapper with check_vma disabled (we manage replication
-    of params/grads manually via explicit collectives)."""
-    return jax.shard_map(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
-    )
