@@ -100,6 +100,10 @@ def main(argv=None):
         # campaigns draw one box at a time, so all devices go to the sp axis.
         if cfg.parallel.n_data != 1:
             ap.error("generation shards spatially; use parallel.n_sp=N (n_data=1)")
+        # checkpoint restore places params on one device; replicate over the mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = jax.device_put(params, NamedSharding(mesh, P()))
         if is_sfm:
             sharded = make_sharded_sfm_sampler(model, mesh, args.n_sampling_steps)
             sample_fn = lambda p, x0, v: sharded(p, x0, v)
