@@ -196,3 +196,21 @@ class TestDDNM:
                         n_sampling_steps=6, l=1)
         np.testing.assert_allclose(np.asarray(A(x)), np.asarray(y), atol=1e-5)
         assert np.isfinite(np.asarray(x)).all()
+
+    def test_projection_operator_consistency(self, tiny_vdm):
+        """DDNM with a non-mask measurement: a symmetric block-mean projector
+        (A^2 = A = A^T, e.g. super-resolution of piecewise-constant
+        observations). The output must satisfy A(x) == y exactly."""
+        vdm, params = tiny_vdm
+
+        def A(x):  # 2x2 block mean, replicated back to full resolution
+            b, h, w, c = x.shape
+            blocks = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+            return jnp.repeat(jnp.repeat(blocks, 2, axis=1), 2, axis=2)
+
+        x_true = jax.random.normal(jax.random.PRNGKey(10), (1, 8, 8, 1))
+        y = A(x_true)
+        x = ddnm_sample(vdm, params, jax.random.PRNGKey(11), y, A, A,
+                        n_sampling_steps=5, l=[0, 1, 2, 1, 0])
+        np.testing.assert_allclose(np.asarray(A(x)), np.asarray(y), atol=1e-4)
+        assert np.isfinite(np.asarray(x)).all()
