@@ -70,6 +70,32 @@ class TestFlipPermute:
         np.testing.assert_allclose(np.sort(o1.ravel()), np.sort(f1.ravel()))
 
 
+class TestShippedRegistries:
+    """The shipped constant tables must carry the reference's real values
+    (reference src/dataset/{normalizations,alphas}{,_3d}.json) so real-CAMELS
+    runs are normalization-compatible out of the box."""
+
+    REG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs", "registries")
+
+    def test_3d_constants(self):
+        reg = DataRegistry(self.REG_DIR, suffix="_3d", data_root="")
+        m, s = reg.normalization("Mcdm")
+        assert abs(m - 10.019186475678042) < 1e-12
+        assert abs(s - 0.5520203178284999) < 1e-12
+        assert reg.normalization("Go7") == (0.0, 1.0)
+        # the Go galaxy-count grids use alpha=2 (log10(x+2)), not 1
+        assert reg.alpha("Go7") == 2 and reg.alpha("Go8") == 2 and reg.alpha("Go9") == 2
+        assert reg.alpha("Mcdm") == 1
+
+    def test_2d_constants(self):
+        reg = DataRegistry(self.REG_DIR, suffix="", data_root="")
+        m, s = reg.normalization("Mcdm")
+        assert abs(m - 10.971016779411217) < 1e-12
+        assert reg.alpha("B") == 1e-15
+        assert reg.alpha("Z") == 1e-9
+        assert reg.alpha("Mcdm") == 0
+
+
 @pytest.fixture(scope="module")
 def synth_registry(tmp_path_factory):
     """Synthetic CAMELS-like registry: 6 sims of 16^3 for two fields + params."""
