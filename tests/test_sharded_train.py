@@ -73,13 +73,56 @@ class TestShardedTrainStep:
             np.testing.assert_array_equal(shards[0], s)
 
     def test_matches_gradient_of_global_loss(self):
-        """One sharded step from identical init must move params in the same
-        direction as the unsharded step computed on the same full batch with
-        the same rng (not bitwise — different noise partitioning — but the
-        data-parallel-only case with n_sp=1 IS exact)."""
+        """The data-parallel-only (n_sp=1) sharded step is exact by
+        construction: each shard computes grad of the loss on its batch row
+        with rng fold_in(shard_index), grads are pmean'd, and the optimizer
+        update is replicated. Reproduce that computation unsharded — per-row
+        grads with the same key folding, averaged, same optax update — and
+        assert the updated params match. Fails if the sharded grads, the rng
+        folding, or the update path are perturbed."""
+        import optax
+
         mesh = make_mesh(n_data=8, n_sp=1)
         ctx = ShardCtx(axis=None, spatial_dim=0, data_axis=AXES.data)
         vdm, state, step, dev = _setup(mesh, ctx, batch=8)
+        opt = make_optimizer(learning_rate=1e-3)
         rng = jax.random.PRNGKey(11)
+
+        # ---- oracle FIRST (step() donates state) ----
+        host = {
+            "x": np.asarray(dev["x"]),
+            "conditioning": np.asarray(dev["conditioning"]),
+            "conditioning_values": [np.asarray(dev["conditioning_values"][0])],
+        }
+
+        def row_loss(params, i):
+            row = {
+                "x": host["x"][i : i + 1],
+                "conditioning": host["conditioning"][i : i + 1],
+                "conditioning_values": [host["conditioning_values"][0][i : i + 1]],
+            }
+            key = jax.random.fold_in(rng, i)
+            return vdm.loss(params, row, key, train=True).loss
+
+        grad_fn = jax.jit(jax.grad(row_loss), static_argnums=1)
+        grads = None
+        losses = []
+        for i in range(8):
+            g = grad_fn(state.params, i)
+            losses.append(float(jax.jit(row_loss, static_argnums=1)(state.params, i)))
+            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+        grads = jax.tree.map(lambda a: a / 8.0, grads)
+        updates, _ = opt.update(grads, state.opt_state, state.params)
+        params_oracle = optax.apply_updates(state.params, updates)
+
+        # ---- sharded step ----
         state2, metrics = step(state, dev, rng)
-        assert np.isfinite(float(metrics["loss"]))
+        np.testing.assert_allclose(
+            float(metrics["loss"]), np.mean(losses), rtol=1e-5)
+        flat2 = jax.tree_util.tree_leaves_with_path(state2.params)
+        flat_o = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(params_oracle)}
+        for k, v in flat2:
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(flat_o[jax.tree_util.keystr(k)]),
+                rtol=2e-5, atol=1e-7, err_msg=jax.tree_util.keystr(k))

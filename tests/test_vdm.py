@@ -85,31 +85,45 @@ class TestAncestralStep:
         np.testing.assert_allclose(float(scale), float(sig_s * jnp.sqrt(c)), rtol=1e-5)
 
     def test_step_consistency_with_forward(self, tiny_vdm):
-        """Ancestral posterior must be consistent: renoising z_s -> z_t with
-        q(z_t|z_s) then stepping back t -> s must preserve the marginal of x0
-        in expectation (weak check: coefficients satisfy the VP identity
-        w_z^2 * sigma_fwd^2 + scale^2 == sigma_s^2 * (stationarity on x0t=0)."""
+        """Renoise-then-step stationarity: drawing z_t ~ q(z_t|z_s) (the DDNM
+        time-travel move, sample_zt_given_zs) and stepping back with the
+        ancestral coefficients must preserve the VP marginal q(z_s|x) exactly
+        when eps_hat is perfect. Three independent identities on the ACTUAL
+        coefficients returned by ddnm_coeffs (each fails under any coefficient
+        perturbation):
+          (1) mean:      w_z * alpha_t + w_x0t == alpha_s
+          (2) variance:  w_z^2 * [(alpha_t/alpha_s)^2 sigma_s^2 + var_fwd]
+                         + scale^2 == sigma_s^2,   var_fwd = c sigma_t^2
+          (3) posterior: scale^2 == sigma_{t|s}^2 * sigma_s^2 / sigma_t^2 with
+              sigma_{t|s}^2 = sigma_t^2 - (alpha_t/alpha_s)^2 sigma_s^2
+              (computed WITHOUT the c shortcut)."""
         vdm, params = tiny_vdm
+        zt = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1))
         t, s = jnp.float32(0.7), jnp.float32(0.5)
+        w_z, w_x0t, _x0t, scale = vdm.ddnm_coeffs(params, zt, t, s)
         g_t, g_s = vdm.gamma(params, t), vdm.gamma(params, s)
         a_t, sig_t = alpha_sigma(g_t)
         a_s, sig_s = alpha_sigma(g_s)
-        c = -jnp.expm1(g_s - g_t)
-        w_z = (a_s / a_t) * (1 - c)
-        scale2 = (sig_s * jnp.sqrt(c)) ** 2
-        # identity: w_z * sigma_t^2 * (a_s/a_t) ... classic check:
-        # Var[z_s] given x fixed: w_z^2 sig_t^2 + scale^2 == sig_s^2 - (extra x terms)
-        # algebraic: (a_s/a_t)^2 (1-c)^2 sig_t^2 + c sig_s^2 == sig_s^2 (1 - c(1-c) ...)
-        lhs = w_z**2 * sig_t**2 + scale2
-        # exact posterior variance identity: Var = sigma_s^2 (1 - c) relation:
-        # q(z_s|z_t,x): var = sigma_{t|s}^2 sigma_s^2 / sigma_t^2 = c sigma_s^2
-        # and mean-square term closes the VP marginal:
-        rhs = sig_s**2 * (1 - c) ** 2 * (sig_t**2 / sig_t**2) + c * sig_s**2
-        # w_z sigma_t = (a_s/a_t)(1-c) sigma_t ; check against sigma_s (1-c) * [a_s sigma_t / (a_t sigma_s)]
-        snr_ratio = (a_s * sig_t) / (a_t * sig_s)  # = sqrt(exp(g_t - g_s)) >= 1
+
+        # (1) mean preservation
         np.testing.assert_allclose(
-            float(w_z * sig_t), float(sig_s * (1 - c) * snr_ratio), rtol=1e-5
-        )
+            float(w_z * a_t + w_x0t), float(a_s), rtol=1e-6)
+
+        # (2) variance preservation through renoise + ancestral step. var_fwd
+        # is the actual variance sample_zt_given_zs injects: measure it from
+        # the implementation (zs=0, x-independent) rather than re-deriving.
+        zeros = jnp.zeros((200, 128))
+        fwd_draws = vdm.sample_zt_given_zs(
+            params, zeros, t, s, jax.random.PRNGKey(3))
+        var_fwd = jnp.var(fwd_draws)
+        total = w_z**2 * ((a_t / a_s) ** 2 * sig_s**2 + var_fwd) + scale**2
+        np.testing.assert_allclose(float(total), float(sig_s**2), rtol=2e-2)
+
+        # (3) exact posterior variance, no -expm1 shortcut
+        var_t_given_s = sig_t**2 - (a_t / a_s) ** 2 * sig_s**2
+        np.testing.assert_allclose(
+            float(scale**2), float(var_t_given_s * sig_s**2 / sig_t**2),
+            rtol=1e-5)
 
 
 class TestLoss:
@@ -214,3 +228,64 @@ class TestDDNM:
                         n_sampling_steps=5, l=[0, 1, 2, 1, 0])
         np.testing.assert_allclose(np.asarray(A(x)), np.asarray(y), atol=1e-4)
         assert np.isfinite(np.asarray(x)).all()
+
+    def test_return_all_trajectory(self, tiny_vdm):
+        """return_all must expose the full x0 trajectory (reference
+        get_ddnm_result(return_all=True), src/utils.py:300-303): one entry per
+        step, final entry identical to the default return, every intermediate
+        step already measurement-consistent."""
+        vdm, params = tiny_vdm
+        mask = jnp.zeros((1, 8, 8, 1)).at[:, :4].set(1.0)
+        A = AT = lambda x: x * mask
+        y = A(jnp.full((1, 8, 8, 1), 2.0))
+        traj = ddnm_sample(vdm, params, jax.random.PRNGKey(9), y, A, AT,
+                           n_sampling_steps=6, l=1, return_all=True)
+        assert traj.shape == (6, 1, 8, 8, 1)
+        final = ddnm_sample(vdm, params, jax.random.PRNGKey(9), y, A, AT,
+                            n_sampling_steps=6, l=1)
+        np.testing.assert_array_equal(np.asarray(traj[-1]), np.asarray(final))
+        for k in range(6):
+            np.testing.assert_allclose(
+                np.asarray(A(traj[k])), np.asarray(y), atol=1e-5)
+
+    def test_nonprojection_nullspace_orthogonality(self, tiny_vdm):
+        """A genuinely non-projection A (random fat matrix on the flattened
+        field) with AT = A's Moore-Penrose pseudo-inverse. Two properties of
+        the DDNM correction x0t_r = AT y + (I - AT A) x0t must hold on the
+        output: (a) A x == y for y in range(A) (AA+ y = y); (b) the correction
+        never adds null-space content of its own — (I - A+A) x equals
+        (I - A+A) applied to the model's raw x0t, i.e. the row-space component
+        of x is pinned to A+ y: A+A x == A+ y-component == A+ A AT y... tested
+        as A+A(x) == AT(y) + 0 since A+A AT y = AT y and A+A(I-A+A) = 0."""
+        vdm, params = tiny_vdm
+        n = 8 * 8  # flattened field size
+        m = 20     # measurement dim (fat: m < n, nontrivial null space)
+        Amat = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(12), (m, n))) / np.sqrt(n)
+        Apinv = np.linalg.pinv(Amat)
+
+        def A(x):
+            flat = x.reshape(x.shape[0], -1)
+            return flat @ Amat.T  # (B, m)
+
+        def AT(yv):
+            return (yv @ Apinv.T).reshape(yv.shape[0], 8, 8, 1)
+
+        x_true = jax.random.normal(jax.random.PRNGKey(13), (1, 8, 8, 1))
+        y = A(x_true)  # in range(A) by construction
+        x = ddnm_sample(vdm, params, jax.random.PRNGKey(14), y, A, AT,
+                        n_sampling_steps=5, l=1)
+        # (a) measurement consistency through the pseudo-inverse (f32
+        # matmul round-trip through pinv leaves ~2e-4 absolute error)
+        np.testing.assert_allclose(np.asarray(A(x)), np.asarray(y),
+                                   rtol=1e-3, atol=1e-3)
+        # (b) row-space component of the output is exactly A+ y: the
+        # correction is orthogonal to null(A), so A+A x == A+ y.
+        flat = np.asarray(x).reshape(1, -1)
+        rowspace = flat @ (Apinv @ Amat).T
+        expected = np.asarray(y) @ Apinv.T
+        np.testing.assert_allclose(rowspace, expected, rtol=1e-3, atol=1e-3)
+        # and the null-space component is non-trivial (the model actually
+        # filled something in beyond AT y)
+        nullpart = flat - rowspace
+        assert np.abs(nullpart).max() > 1e-3

@@ -36,8 +36,15 @@ def ddnm_sample(
     l: Union[int, Sequence[int], np.ndarray] = 10,
     s_conditioning: Optional[jnp.ndarray] = None,
     v_conditionings: Sequence[jnp.ndarray] = (),
+    return_all: bool = False,
 ) -> jnp.ndarray:
-    """Returns the final null-space-corrected x0 estimate (B, *spatial, C)."""
+    """Returns the final null-space-corrected x0 estimate (B, *spatial, C).
+
+    With ``return_all=True``, returns the full per-step trajectory of x0
+    estimates, stacked along a leading step axis (n_sampling_steps, B,
+    *spatial, C) — the reference's ``get_ddnm_result(return_all=True)``
+    (reference src/utils.py:281,300-303), used by its notebooks to inspect
+    convergence of the inverse-problem solve."""
     if isinstance(l, int):
         l = np.full(n_sampling_steps, l)
     l = np.asarray(l)
@@ -76,4 +83,4 @@ def ddnm_sample(
         return (z, key), x0t_r
 
     (_, _), x0t_rs = jax.lax.scan(outer, (z, rng), jnp.arange(n_sampling_steps))
-    return x0t_rs[-1]
+    return x0t_rs if return_all else x0t_rs[-1]
