@@ -178,3 +178,18 @@ class TestConfigAndPresets:
                          out_dir=str(tmp_path), experiment_name="p", seed=0)
         state = Trainer(model, tc).fit(dm)
         assert int(state.step) == 10
+
+
+class TestLRSchedule:
+    def test_warmup_lr_values(self):
+        """The logged LR must be the schedule's real value, not the config
+        constant (the reference ran a LearningRateMonitor)."""
+        from vdm4cdm_tpu.train.state import make_lr_schedule
+
+        sched = make_lr_schedule(3e-4, warmup_steps=100)
+        assert float(sched(0)) == 0.0
+        assert abs(float(sched(50)) - 1.5e-4) < 1e-9
+        assert abs(float(sched(100)) - 3e-4) < 1e-9
+        assert abs(float(sched(10_000)) - 3e-4) < 1e-9
+        flat = make_lr_schedule(3e-4, warmup_steps=0)
+        assert abs(float(flat(7)) - 3e-4) < 1e-12

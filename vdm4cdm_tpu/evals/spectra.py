@@ -13,6 +13,7 @@ loops per-sample on the host; here ``pk`` is one vmapped kernel).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -20,9 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.lru_cache(maxsize=32)
 def _kgrid_and_weights(spatial: Tuple[int, ...]) -> tuple[np.ndarray, np.ndarray, int]:
     """|k| grid of the rfftn output, Hermitian weights, and kmax. Host-side
-    (static shapes), cached per spatial shape."""
+    (static shapes), cached per spatial shape (at 256^3 the meshgrid builds
+    ~270 MB arrays — building them once per shape, not per trace, matters)."""
     *full, last = spatial
     rlast = last // 2 + 1
     axes = [np.fft.fftfreq(n) * n for n in full] + [np.arange(rlast)]

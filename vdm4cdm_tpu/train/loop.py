@@ -23,7 +23,7 @@ from ..parallel.shard import batch_pspec
 from ..utils.rng import RngStream
 from .checkpoint import CheckpointManager
 from .loggers import ConsoleLogger, CSVLogger, Logger, MultiLogger
-from .state import TrainState, make_optimizer
+from .state import TrainState, make_lr_schedule, make_optimizer
 from .step import make_eval_step, make_train_step, model_ndim_spatial
 
 
@@ -114,6 +114,8 @@ class Trainer:
             config.learning_rate, config.grad_clip, config.weight_decay,
             config.warmup_steps,
         )
+        self._lr_schedule = make_lr_schedule(
+            config.learning_rate, config.warmup_steps)
         self.loggers = loggers or MultiLogger(
             CSVLogger(config.out_dir, config.experiment_name),
             ConsoleLogger(every=config.log_every_steps),
@@ -184,7 +186,7 @@ class Trainer:
             # would force a device sync per step and serialize the pipeline.
             if step % cfg.log_every_steps == 0 or step == max_steps:
                 scalars = {k: float(v) for k, v in metrics.items()}
-                scalars["lr"] = cfg.learning_rate
+                scalars["lr"] = float(self._lr_schedule(step))
                 self.loggers.log_scalars(step, scalars)
 
             if cfg.val_check_interval and step % cfg.val_check_interval == 0:
@@ -215,6 +217,10 @@ class Trainer:
         if agg:
             self.loggers.log_scalars(step, {k: float(np.mean(v)) for k, v in agg.items()})
         if self.draw_figure is not None and vb is not None:
-            fig = self.draw_figure(state.params, vb, rngs.next())
+            # sample with EMA weights when tracked — generation prefers EMA
+            # (checkpoint.load_params prefer_ema), so the in-training quality
+            # signal must look at the same weights
+            fig_params = state.ema_params if state.ema_params is not None else state.params
+            fig = self.draw_figure(fig_params, vb, rngs.next())
             if fig is not None:
                 self.loggers.log_figure(step, "validation", fig)

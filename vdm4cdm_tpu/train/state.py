@@ -23,16 +23,22 @@ class TrainState:
     ema_params: Any = None
 
 
+def make_lr_schedule(learning_rate: float, warmup_steps: int = 0):
+    """The learning-rate schedule used by make_optimizer, exposed so loggers
+    can report the REAL per-step LR (the reference had a LearningRateMonitor
+    callback; logging the config constant would be wrong during warmup)."""
+    if warmup_steps > 0:
+        return optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    return optax.constant_schedule(learning_rate)
+
+
 def make_optimizer(
     learning_rate: float = 3.0e-4,
     grad_clip: float = 0.5,
     weight_decay: float = 0.0,
     warmup_steps: int = 0,
 ) -> optax.GradientTransformation:
-    if warmup_steps > 0:
-        lr = optax.linear_schedule(0.0, learning_rate, warmup_steps)
-    else:
-        lr = learning_rate
+    lr = make_lr_schedule(learning_rate, warmup_steps)
     parts = []
     if grad_clip and grad_clip > 0:
         parts.append(optax.clip_by_global_norm(grad_clip))
