@@ -63,3 +63,37 @@ class TestGenerateCLI:
         assert files == {f"gen_{i}.npy" for i in range(12)}
         arr = np.load(os.path.join(save, "gen_0.npy"))
         assert arr.shape == (12, 1, 16, 16)  # channels-first, reference layout
+
+    def test_campaign_batched_reps(self, trained_run, tmp_path):
+        """--reps-per-batch draws several posterior samples per sampler call;
+        layout is unchanged and the reps are distinct draws."""
+        save = str(tmp_path / "camp_rpb")
+        rc = generate.main([
+            "smoke_vdm_2d", save, "CV_12_12",
+            "--ckpt-dir", os.path.join(trained_run, "smoke_vdm_2d", "checkpoints"),
+            "--n-sampling-steps", "2", "--reps-per-batch", "4",
+            "--set", *OVERRIDES,
+        ])
+        assert rc == 0
+        arr = np.load(os.path.join(save, "gen_0.npy"))
+        assert arr.shape == (12, 1, 16, 16)
+        assert np.abs(arr[0] - arr[1]).max() > 1e-6  # distinct samples
+        assert np.abs(arr[3] - arr[4]).max() > 1e-6  # across chunk boundary too
+
+    def test_campaign_data_parallel(self, trained_run, tmp_path):
+        """Campaign reps shard over the data mesh axis (the TPU-native version
+        of the reference's 6-way bash job sharding, ICML_figures cells 70-80)."""
+        save = str(tmp_path / "camp_dp")
+        rc = generate.main([
+            "smoke_vdm_2d", save, "CV_12_12",
+            "--ckpt-dir", os.path.join(trained_run, "smoke_vdm_2d", "checkpoints"),
+            "--n-sampling-steps", "2", "--reps-per-batch", "4",
+            "--set", *OVERRIDES, "parallel.n_data=2", "parallel.n_sp=1",
+        ])
+        assert rc == 0
+        arr = np.load(os.path.join(save, "gen_0.npy"))
+        assert arr.shape == (12, 1, 16, 16)
+        assert np.isfinite(arr).all()
+        # distinct draws within and across the data shards
+        assert np.abs(arr[0] - arr[1]).max() > 1e-6
+        assert np.abs(arr[1] - arr[2]).max() > 1e-6

@@ -41,6 +41,13 @@ def main(argv=None):
                     help="trained-model registry (configs.yaml equivalent)")
     ap.add_argument("--ckpt-step", type=int, default=None)
     ap.add_argument("--n-sampling-steps", type=int, default=250)
+    ap.add_argument("--reps-per-batch", type=int, default=1,
+                    help="posterior samples drawn per sampler call (must "
+                         "divide the campaign's reps). Batching reps amortizes "
+                         "the 250 UNet scans; with parallel.n_data=N the "
+                         "batch is additionally sharded N-way over the data "
+                         "mesh axis — the TPU-native version of the "
+                         "reference's 6-way bash job sharding")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--set", dest="overrides", nargs="*", metavar="SEC.KEY=VAL",
@@ -95,11 +102,17 @@ def main(argv=None):
     dm = build_datamodule(cfg, stage="test")
     rngs = RngStream(args.seed)
 
+    # SFM sampling is a deterministic ODE from x0 — batching reps would just
+    # repeat the same field, so rep-batching applies to VDM campaigns only.
+    rpb = 1 if is_sfm else max(1, args.reps_per_batch)
     if mesh is not None:
-        # spatially sharded sampling: native-resolution volumes across chips.
-        # campaigns draw one box at a time, so all devices go to the sp axis.
-        if cfg.parallel.n_data != 1:
-            ap.error("generation shards spatially; use parallel.n_sp=N (n_data=1)")
+        # sharded sampling: the volume shards over ``sp`` (native resolutions
+        # the reference can't fit), and the rep batch shards over ``data`` —
+        # replacing the reference's bash-level 6-way campaign sharding.
+        n_data = cfg.parallel.n_data
+        if rpb % max(n_data, 1) != 0:
+            ap.error(f"--reps-per-batch ({rpb}) must be a multiple of "
+                     f"parallel.n_data ({n_data})")
         # checkpoint restore places params on one device; replicate over the mesh
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -108,7 +121,8 @@ def main(argv=None):
             sharded = make_sharded_sfm_sampler(model, mesh, args.n_sampling_steps)
             sample_fn = lambda p, x0, v: sharded(p, x0, v)
         else:
-            sharded = make_sharded_vdm_sampler(model, mesh, 1, args.n_sampling_steps)
+            sharded = make_sharded_vdm_sampler(
+                model, mesh, rpb, args.n_sampling_steps)
             sample_fn = lambda p, r, s, v: sharded(p, r, s, v)
     elif is_sfm:
         sample_fn = jax.jit(
@@ -119,31 +133,39 @@ def main(argv=None):
     else:
         sample_fn = jax.jit(
             lambda p, r, s, v: model.draw_samples(
-                p, r, batch_size=1, n_sampling_steps=args.n_sampling_steps,
+                p, r, batch_size=rpb, n_sampling_steps=args.n_sampling_steps,
                 s_conditioning=s, v_conditionings=v,
             )
         )
 
+    def _tile(a):
+        """Broadcast a (1, ...) conditioning array to the rep batch."""
+        a = jnp.asarray(a)
+        return jnp.broadcast_to(a, (rpb,) + a.shape[1:]) if rpb > 1 else a
+
     def draw(batch, rng):
-        v = [jnp.asarray(a) for a in (batch.get("conditioning_values") or [])]
+        v = [_tile(a) for a in (batch.get("conditioning_values") or [])]
         if cfg.data.conditioning_values == 0:
             v = []
         if is_sfm:
             return sample_fn(params, jnp.asarray(batch["x0"]), v)
         cond = batch.get("conditioning")
-        cond = None if cond is None else jnp.asarray(cond)
+        cond = None if cond is None else _tile(cond)
         return sample_fn(params, rng, cond, v)
 
     def campaign(batch_filter, reps, name_fn):
+        if reps % rpb:
+            ap.error(f"--reps-per-batch ({rpb}) must divide the campaign's "
+                     f"reps ({reps})")
         count = 0
         for i_batch, batch in enumerate(dm.test_dataloader()):
             if not batch_filter(i_batch):
                 continue
             gens = []
-            for r in range(reps):
+            for r in range(0, reps, rpb):
                 gen = draw(batch, rngs.next())
                 gens.append(to_np(nlast_to_nchw(gen)))
-                print(f"[generate] box {i_batch} rep {r + 1}/{reps}", flush=True)
+                print(f"[generate] box {i_batch} rep {r + rpb}/{reps}", flush=True)
             out = np.concatenate(gens, axis=0)
             np.save(os.path.join(args.save_path, name_fn(count, i_batch)), out)
             count += 1
