@@ -50,6 +50,47 @@ class TestTrainCLI:
         assert train.main(["--config", p]) == 0
 
 
+class TestShardedFigures:
+    def test_sharded_training_renders_figures(self, tmp_path):
+        """Validation figures must ride the SHARDED sampler when training on
+        a mesh — at flagship scale one chip cannot sample a validation field
+        (256^3 needs 51 GB unsharded, docs/DESIGN.md §5)."""
+        out = str(tmp_path)
+        rc = train.main([
+            "--preset", "smoke_vdm_2d",
+            "--set", "run.max_steps=4", "run.val_check_interval=2",
+            "run.ckpt_every_steps=100", "run.n_figure_sampling_steps=2",
+            "data.cropsize=16", "data.batch_size=4",
+            "model.chs=(8,8,8,8)", "model.norm_groups=4",
+            "parallel.n_data=2", "parallel.n_sp=2",
+            f"run.out_dir={out}",
+        ])
+        assert rc == 0
+        figs = os.listdir(os.path.join(out, "smoke_vdm_2d", "figures"))
+        assert any(f.endswith(".png") for f in figs)
+
+    def test_figure_fn_uses_sharded_sampler(self):
+        from vdm4cdm_tpu.cli._common import (
+            make_mesh_from_config, make_validation_figure_fn)
+        from vdm4cdm_tpu.config import build_datamodule, build_model
+        from vdm4cdm_tpu.parallel import make_shard_ctx
+        from vdm4cdm_tpu.presets import preset
+
+        cfg = preset("smoke_vdm_2d")
+        cfg.data.cropsize = 16
+        cfg.model.chs = [8, 8, 8, 8]
+        cfg.model.norm_groups = 4
+        cfg.parallel.n_data = 2
+        cfg.parallel.n_sp = 2
+        mesh = make_mesh_from_config(cfg)
+        model = build_model(cfg, ctx=make_shard_ctx(mesh))
+        dm = build_datamodule(cfg)
+        fn = make_validation_figure_fn(cfg, model, dm, mesh=mesh)
+        assert fn.sharded
+        fn_plain = make_validation_figure_fn(cfg, build_model(cfg), dm)
+        assert not fn_plain.sharded
+
+
 class TestGenerateCLI:
     def test_campaign(self, trained_run, tmp_path):
         save = str(tmp_path / "camp" / "CV_12_12")

@@ -43,17 +43,36 @@ def unsharded_clone(model):
     return dataclasses.replace(model, velocity_model=model.velocity_model.clone(ctx=NO_SHARD))
 
 
-def make_validation_figure_fn(cfg, model, dm):
+def make_validation_figure_fn(cfg, model, dm, mesh=None):
     """Build the draw_figure hook: sample from the model and render the 2x3
     validation panel (reference trainVDM3D_c_c...:91-112 wiring).
 
-    Always samples on the unsharded model clone — the hook runs outside
-    shard_map (a couple of validation fields fit one chip even when training
-    is spatially sharded)."""
+    With a mesh, sampling goes through the SHARDED samplers — at flagship
+    scale (native 256^3 needs ~51 GB unsharded, docs/DESIGN.md §5) a single
+    chip cannot draw even one validation field, so the figure hook must ride
+    the same sp-sharded path as training. Without a mesh it samples on an
+    unsharded clone."""
     import jax
     import jax.numpy as jnp
 
-    model = unsharded_clone(model)
+    sharded_sampler = None
+    is_sfm_family = cfg.model.family == "sfm"
+    n_fig = 2
+    if mesh is not None:
+        from ..parallel import make_sharded_sfm_sampler, make_sharded_vdm_sampler
+        from ..utils.mesh import AXES
+
+        n_data = mesh.shape[AXES.data]
+        n_fig = max(2, n_data)  # sampler batch must divide the data axis
+        if is_sfm_family:
+            sharded_sampler = make_sharded_sfm_sampler(
+                model, mesh, min(cfg.run.n_figure_sampling_steps, 100))
+        else:
+            sharded_sampler = make_sharded_vdm_sampler(
+                model, mesh, n_fig, min(cfg.run.n_figure_sampling_steps, 100),
+                with_s_conditioning=cfg.data.in_field is not None)
+    else:
+        model = unsharded_clone(model)
 
     from ..evals import figures, spectra
     from ..utils.array import to_np
@@ -95,28 +114,36 @@ def make_validation_figure_fn(cfg, model, dm):
     )
 
     def draw(params, batch, rng):
-        n = min(2, (batch["x1"] if is_sfm else batch["x"]).shape[0])
+        n = min(n_fig, (batch["x1"] if is_sfm else batch["x"]).shape[0])
         v_conds = [v[:n] for v in (batch.get("conditioning_values") or [])]
         if is_sfm:
-            samples = model.draw_samples(
-                params, batch["x0"][:n], n_sampling_steps=n_steps,
-                v_conditionings=v_conds,
-            )
+            if sharded_sampler is not None:
+                samples = sharded_sampler(params, batch["x0"][:n], v_conds)
+            else:
+                samples = model.draw_samples(
+                    params, batch["x0"][:n], n_sampling_steps=n_steps,
+                    v_conditionings=v_conds,
+                )
             return figures.draw_figure_sfm(
                 jax.tree.map(lambda a: a[:n] if a is not None else None, batch,
                              is_leaf=lambda a: a is None),
                 samples, **hooks,
             )
         cond = batch.get("conditioning")
-        samples = model.draw_samples(
-            params, rng, batch_size=n, n_sampling_steps=n_steps,
-            s_conditioning=None if cond is None else cond[:n],
-            v_conditionings=v_conds,
-        )
+        cond = None if cond is None else cond[:n]
+        if sharded_sampler is not None:
+            samples = sharded_sampler(params, rng, cond, v_conds)
+        else:
+            samples = model.draw_samples(
+                params, rng, batch_size=n, n_sampling_steps=n_steps,
+                s_conditioning=cond,
+                v_conditionings=v_conds,
+            )
         return figures.draw_figure(
             jax.tree.map(lambda a: a[:n] if a is not None else None, batch,
                          is_leaf=lambda a: a is None),
             samples, **hooks,
         )
 
+    draw.sharded = sharded_sampler is not None
     return draw

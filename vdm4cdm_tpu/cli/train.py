@@ -81,7 +81,7 @@ def main(argv=None):
         n_figure_sampling_steps=cfg.run.n_figure_sampling_steps,
         ema_decay=cfg.run.ema_decay,
     )
-    draw_figure = make_validation_figure_fn(cfg, model, dm)
+    draw_figure = make_validation_figure_fn(cfg, model, dm, mesh=mesh)
     trainer = Trainer(model, tc, mesh=mesh, draw_figure=draw_figure)
 
     init_params = None

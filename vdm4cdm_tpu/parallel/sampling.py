@@ -28,10 +28,13 @@ def make_sharded_vdm_sampler(
     mesh: Mesh,
     batch_size: int = 1,
     n_sampling_steps: int = 250,
+    with_s_conditioning: bool = True,
 ):
     """Returns jitted sample(params, rng, s_conditioning, v_conditionings) with
     the conditioning field + output sharded (data, sp). ``vdm_sharded`` must be
-    built with the mesh's ShardCtx (see parallel.shard.make_shard_ctx)."""
+    built with the mesh's ShardCtx (see parallel.shard.make_shard_ctx).
+    ``s_conditioning`` may be passed as None iff ``with_s_conditioning`` is
+    False (unconditional models — shard_map specs are static)."""
     ctx = vdm_sharded.score_model.ctx
     nd = vdm_sharded.score_model.ndim_spatial
     n_sp = mesh.shape[AXES.sp]
@@ -44,7 +47,7 @@ def make_sharded_vdm_sampler(
     ) + (gshape[-1],)
     bspec = batch_pspec(nd)
 
-    def per_shard(params, rng, cond, vvals):
+    def body(params, rng, cond, vvals):
         if ctx.data_axis is not None:  # distinct noise per data shard
             rng = jax.random.fold_in(rng, jax.lax.axis_index(ctx.data_axis))
         return vdm_sharded.draw_samples(
@@ -53,13 +56,24 @@ def make_sharded_vdm_sampler(
             sample_shape=local_shape,
         )
 
-    fn = jax.shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(P(), P(), bspec, P(AXES.data)),
+    if with_s_conditioning:
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), bspec, P(AXES.data)),
+            out_specs=bspec,
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    uncond = jax.shard_map(
+        lambda params, rng, vvals: body(params, rng, None, vvals),
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXES.data)),
         out_specs=bspec,
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(uncond)
+    return lambda params, rng, cond, vvals: jitted(params, rng, vvals)
 
 
 def make_sharded_sfm_sampler(
