@@ -1,0 +1,79 @@
+"""Pallas im2col conv3d vs the XLA oracle (ops.conv.conv_nd) — forward and
+both gradients, circular and zeros padding, on the interpreter (no TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from vdm4cdm_tpu.ops.conv import conv_nd
+from vdm4cdm_tpu.ops.pallas.conv3d import conv3d_pallas, supports
+
+
+def _oracle(x, w, mode):
+    return conv_nd(x.astype(jnp.float32), w.astype(jnp.float32),
+                   padding_mode=mode)
+
+
+CASES = [
+    # (D, H, W, Cin, Cout)
+    (6, 8, 8, 16, 16),   # pack 8
+    (8, 4, 8, 32, 32),   # pack 4
+    (3, 8, 16, 16, 24),  # pack 8, Wp=2
+    (2, 8, 8, 16, 16),   # D=2: both dz neighbors are the same plane
+    (4, 8, 8, 64, 64),   # pack 2
+    (3, 8, 8, 96, 32),   # pack 4 (decoder concat width), 384-lane rows
+    (3, 8, 8, 128, 64),  # pack 1
+]
+
+
+class TestForward:
+    @pytest.mark.parametrize("mode", ["circular", "zeros"])
+    @pytest.mark.parametrize("dims", CASES)
+    def test_matches_oracle(self, mode, dims):
+        D, H, W, cin, cout = dims
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, D, H, W, cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        assert supports(x.shape, w.shape, (1, 1, 1))
+        with pltpu.force_tpu_interpret_mode():
+            got = conv3d_pallas(x, w, mode)
+        want = _oracle(x, w, mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestGrad:
+    @pytest.mark.parametrize("mode", ["circular", "zeros"])
+    def test_dx_dw_match_oracle(self, mode):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 16)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 16)) * 0.1,
+                        jnp.float32)
+        ct = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 16)), jnp.float32)
+
+        def loss_p(x, w):
+            return jnp.sum(conv3d_pallas(x, w, mode) * ct)
+
+        def loss_o(x, w):
+            return jnp.sum(_oracle(x, w, mode) * ct)
+
+        with pltpu.force_tpu_interpret_mode():
+            gx_p, gw_p = jax.grad(loss_p, argnums=(0, 1))(x, w)
+        gx_o, gw_o = jax.grad(loss_o, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_o),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_o),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestSupports:
+    def test_rejects_out_of_scope(self):
+        assert not supports((2, 8, 8, 8, 3), (3, 3, 3, 3, 32), (1, 1, 1))   # cin<8
+        assert not supports((2, 8, 8, 8, 32), (3, 3, 3, 32, 32), (2, 2, 2))  # stride
+        assert not supports((2, 8, 8, 8, 32), (1, 1, 1, 32, 32), (1, 1, 1))  # k=1
+        assert not supports((2, 8, 8, 4, 32), (3, 3, 3, 32, 32), (1, 1, 1))  # W<8
+        assert supports((2, 8, 8, 8, 16), (3, 3, 3, 16, 16), (1, 1, 1))
+        assert supports((2, 2, 8, 8, 32), (3, 3, 3, 32, 32), (1, 1, 1))  # D=2 ok

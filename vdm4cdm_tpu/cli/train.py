@@ -36,11 +36,34 @@ def main(argv=None):
                     help="config overrides, e.g. data.cropsize=128 run.max_steps=1000")
     ap.add_argument("--platform", type=str, default=None,
                     help="force a jax platform (e.g. cpu for local smoke runs)")
+    ap.add_argument("--coordinator", type=str, default=None,
+                    help="multi-host: coordinator address HOST:PORT — passing "
+                         "this (or --num-processes) initializes "
+                         "jax.distributed; on TPU pods with auto-discovery "
+                         "pass --num-processes=-1 alone")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host: total process count (-1 = auto-detect)")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this process's rank")
     args = ap.parse_args(argv)
 
     from ._common import make_mesh_from_config, make_validation_figure_fn, setup_jax
 
     jax = setup_jax(platform=args.platform)
+    if args.coordinator is not None or args.num_processes is not None:
+        # must run before any device query; mesh axes then span all hosts'
+        # devices and the datamodule serves per-host batch blocks
+        kwargs = {}
+        if args.coordinator:
+            kwargs["coordinator_address"] = args.coordinator
+        if args.num_processes and args.num_processes > 0:
+            kwargs["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kwargs["process_id"] = args.process_id
+        jax.distributed.initialize(**kwargs)
+        print(f"[train] jax.distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices", flush=True)
 
     from ..config import ExperimentConfig, build_datamodule, build_model
     from ..parallel.shard import make_shard_ctx

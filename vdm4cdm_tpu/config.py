@@ -206,4 +206,18 @@ def build_datamodule(cfg: ExperimentConfig, stage: str = "fit"):
         mmap=d.mmap,
         data_root=d.data_root,
         seed=cfg.run.seed,
+        process_index=_process_index(),
+        process_count=_process_count(),
     )
+
+
+def _process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def _process_count() -> int:
+    import jax
+
+    return jax.process_count()

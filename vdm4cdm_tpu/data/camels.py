@@ -253,9 +253,14 @@ class CAMELSDataModule:
 
         def make_batch(batch_idx, start):
             # multi-host: identical shuffles everywhere (same epoch_seed), each
-            # host materializes only its stride of the global batch
+            # host materializes only its BLOCK of the global batch — blocks
+            # match the row->device assignment of a (data, sp) mesh built over
+            # jax.devices() (process-major order), so the feeder can hand the
+            # local rows to jax.make_array_from_process_local_data directly
             if self.process_count > 1:
-                batch_idx = batch_idx[self.process_index :: self.process_count]
+                loc = len(batch_idx) // self.process_count
+                batch_idx = batch_idx[self.process_index * loc:
+                                      (self.process_index + 1) * loc]
             sample_rng = np.random.default_rng((epoch_seed, int(start)))
             if native_kind is not None:
                 return self._native_batch(batch_idx, sample_rng, augment, native_kind)
@@ -331,8 +336,14 @@ def get_dataset(
     mmap: bool = True,
     data_root: Optional[str] = None,
     seed: int = 42,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> CAMELSDataModule:
-    """Factory mirroring the reference's get_dataset (CAMELS_3D_dataset.py:202-234)."""
+    """Factory mirroring the reference's get_dataset (CAMELS_3D_dataset.py:202-234).
+
+    process_index/process_count: multi-host data parallelism — each host
+    materializes only its block of every global batch (shuffles are shared
+    through the epoch seed)."""
     registry = DataRegistry(
         registry_dir, suffix="_3d" if ndim == 3 else "", data_root=data_root
     )
@@ -351,4 +362,6 @@ def get_dataset(
         mmap=mmap,
         num_workers=num_workers,
         seed=seed,
+        process_index=process_index,
+        process_count=process_count,
     )

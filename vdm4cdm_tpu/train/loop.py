@@ -87,13 +87,19 @@ class _DeviceFeeder:
                 batch, is_leaf=lambda a: a is None,
             )
         bspec = batch_pspec(self.ndim_spatial)
+        multihost = jax.process_count() > 1
 
         def place(a):
             if a is None:
                 return None
             arr = np.asarray(a)
             spec = bspec if arr.ndim >= 2 + self.ndim_spatial else P("data")
-            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+            sharding = NamedSharding(self.mesh, spec)
+            if multihost:
+                # arr holds only this host's block of the global batch (the
+                # datamodule strides by process); assemble the global array
+                return jax.make_array_from_process_local_data(sharding, arr)
+            return jax.device_put(arr, sharding)
 
         return jax.tree.map(place, batch, is_leaf=lambda a: a is None)
 
@@ -116,10 +122,15 @@ class Trainer:
         )
         self._lr_schedule = make_lr_schedule(
             config.learning_rate, config.warmup_steps)
-        self.loggers = loggers or MultiLogger(
-            CSVLogger(config.out_dir, config.experiment_name),
-            ConsoleLogger(every=config.log_every_steps),
-        )
+        if loggers is not None:
+            self.loggers = loggers
+        elif jax.process_index() == 0:
+            self.loggers = MultiLogger(
+                CSVLogger(config.out_dir, config.experiment_name),
+                ConsoleLogger(every=config.log_every_steps),
+            )
+        else:  # non-zero ranks stay silent (metrics are pmean'd-identical)
+            self.loggers = MultiLogger()
         self.draw_figure = draw_figure
         self.ckpt = CheckpointManager(
             os.path.join(config.out_dir, config.experiment_name, "checkpoints"),
@@ -216,10 +227,13 @@ class Trainer:
                 agg.setdefault(f"val_{k}", []).append(float(v))
         if agg:
             self.loggers.log_scalars(step, {k: float(np.mean(v)) for k, v in agg.items()})
-        if self.draw_figure is not None and vb is not None:
+        if (self.draw_figure is not None and vb is not None
+                and jax.process_count() == 1):
             # sample with EMA weights when tracked — generation prefers EMA
             # (checkpoint.load_params prefer_ema), so the in-training quality
-            # signal must look at the same weights
+            # signal must look at the same weights. Multi-host runs skip the
+            # figure hook (rendering needs a host-gathered field; campaign
+            # generation is the multi-host sampling path).
             fig_params = state.ema_params if state.ema_params is not None else state.params
             fig = self.draw_figure(fig_params, vb, rngs.next())
             if fig is not None:
