@@ -49,8 +49,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# im2col tile budget (bytes); in/out blocks are double-buffered on top.
-_IM2COL_BUDGET = 5 * 1024 * 1024
+# im2col tile budget (bytes); the DMA slots and out blocks sit on top, all
+# well under the raised 64 MB scoped-vmem limit. Bigger tiles = fewer grid
+# steps = less per-step overhead. Env-tunable for experiments.
+import os as _os
+
+_IM2COL_BUDGET = int(_os.environ.get("VDM4CDM_PALLAS_IM2COL_MB", "14")) * 1024 * 1024
 
 
 def _pack_factor(W: int, C: int):
@@ -184,8 +188,10 @@ def _dma_windows(xq_ref, slots_ref, sems, b, d, m, *, M, O, D, rows, n, zeros):
             (m * M, O, M),
             (jax.lax.rem(m * M + M, rows), O + M, O),
         )):
+            # M, O, rows are all multiples of 8, so every offset is too —
+            # Mosaic can't prove that through the rem, hence the hint
             cp = pltpu.make_async_copy(
-                xq_ref.at[b, dplane, pl.ds(src, size), :],
+                xq_ref.at[b, dplane, pl.ds(pl.multiple_of(src, 8), size), :],
                 slots_ref.at[dz, pl.ds(dst, size), :],
                 sems.at[dz, s],
             )
