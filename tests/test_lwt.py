@@ -68,3 +68,47 @@ class TestRWST:
             wst[:, 2 : 2 + NR * NT].reshape(2, NR, NT).mean(-1),
             rtol=1e-6,
         )
+
+
+class TestDirectSpaceCrossCheck:
+    """Pin the FFT-based scattering numerics against a fully independent
+    direct-space path: the same Fourier-defined filters, but the convolution
+    evaluated as a brute-force O(N^4) circular sum in float64 numpy. Catches
+    any FFT-convention, normalization, or pipeline error in WST_abs2."""
+
+    def test_s1_s2_match_bruteforce(self):
+        N, NR, NT = 16, 2, 2
+        mms, vals = lwt.make_wavelets(N=N, NR=NR, NT=NT, sqrt=False)
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((N, N))
+
+        # spatial-domain filters (complex), via numpy's FFT in float64
+        spatial = [np.fft.ifft2(np.asarray(v, np.complex128)) for v in vals]
+
+        def circ_conv(sig, ker):
+            out = np.zeros((N, N), np.complex128)
+            for a in range(N):
+                for b in range(N):
+                    acc = 0.0 + 0.0j
+                    for c in range(N):
+                        for d in range(N):
+                            acc += sig[c, d] * ker[(a - c) % N, (b - d) % N]
+                    out[a, b] = acc
+            return out
+
+        # scale down the brute force: only check filters 0 and NT (two scales)
+        i1, i2 = 0, NT  # j1=0, j2=1 -> a valid order-2 pair
+        u1_bf = np.abs(circ_conv(x, spatial[i1]))
+        s1_bf = (u1_bf**2).mean()
+        u2_bf = np.abs(circ_conv(u1_bf, spatial[i2]))
+        s2_bf = (u2_bf**2).mean()
+
+        wst = np.asarray(lwt.WST_abs2(x, mms, vals, m=2))
+        s1_fft = wst[2 + i1]
+        # order-2 columns: (i1, i2) pairs with j2 > j1 in row-major i1, i2
+        pair_cols = [(a, b) for a in range(NR * NT) for b in range(NR * NT)
+                     if b // NT > a // NT]
+        s2_fft = wst[2 + NR * NT + pair_cols.index((i1, i2))]
+
+        np.testing.assert_allclose(s1_fft, s1_bf, rtol=1e-4)
+        np.testing.assert_allclose(s2_fft, s2_bf, rtol=1e-4)
