@@ -28,6 +28,10 @@ def test_two_process_step_matches_single_process():
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["PYTHONUNBUFFERED"] = "1"
+    # workers import vdm4cdm_tpu; the script dir (tests/) is what Python adds
+    # to sys.path, so the repo root must come via PYTHONPATH
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
     procs = [
         subprocess.Popen([sys.executable, worker, str(port), str(pid)],
