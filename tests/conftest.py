@@ -16,7 +16,10 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# VDM4CDM_TEST_TPU=1 runs the suite on the real TPU instead (used for the
+# TPU-hardware-only tests, e.g. the fused-norm in-kernel PRNG dropout).
+if os.environ.get("VDM4CDM_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: CPU compiles of the UNet graphs dominate
 # test wall time; cache them across pytest runs.

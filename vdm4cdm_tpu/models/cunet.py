@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.conv import conv_nd
-from ..ops.norm import group_norm
+from ..ops.norm import group_norm, group_norm_film
 from ..ops.resample import downsample_conv, upsample_nearest
 from ..parallel.halo import (
     NO_SHARD,
@@ -80,16 +80,31 @@ class _Conv(nn.Module):
 
 
 class _GroupNorm(nn.Module):
+    """GroupNorm with an optional fused FiLM + dropout epilogue.
+
+    The whole chain (normalize, gamma/beta, FiLM scale-shift, activation,
+    dropout) executes as ONE fused Pallas kernel on unsharded TPU
+    (ops/pallas/fused_norm.py) and as the XLA composition elsewhere."""
+
     groups: int
     act: Optional[str] = None
     ctx: ShardCtx = NO_SHARD
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, film=None, dropout_p: float = 0.0, dropout_rng=None):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(x, scale, bias, self.groups, act=self.act, ctx=self.ctx)
+        if film is None and dropout_p == 0.0:
+            return group_norm(x, scale, bias, self.groups, act=self.act,
+                              ctx=self.ctx)
+        fs, fsh = film if film is not None else (
+            jnp.zeros((x.shape[0], c), jnp.float32),
+            jnp.zeros((x.shape[0], c), jnp.float32),
+        )
+        return group_norm_film(
+            x, scale, bias, fs, fsh, self.groups, act=self.act,
+            dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=self.ctx)
 
 
 class ResBlock(nn.Module):
@@ -112,20 +127,15 @@ class ResBlock(nn.Module):
         h = _GroupNorm(self.norm_groups, act="silu", ctx=self.ctx)(x)
         h = _Conv(self.features, 3, padding_mode=self.padding_mode, ctx=self.ctx)(h)
 
+        p = self.dropout_prob if train else 0.0
+        rng = self.make_rng("dropout") if p > 0 else None
+        film = None
         if emb is not None:
-            film = nn.Dense(2 * self.features, name="film")(nn.silu(emb))
-            scale, shift = jnp.split(film, 2, axis=-1)
-            bshape = (h.shape[0],) + (1,) * (h.ndim - 2) + (self.features,)
-            h = _GroupNorm(self.norm_groups, ctx=self.ctx)(h)
-            h = h * (1.0 + scale.reshape(bshape).astype(h.dtype)) + shift.reshape(
-                bshape
-            ).astype(h.dtype)
-            h = nn.silu(h)
-        else:
-            h = _GroupNorm(self.norm_groups, act="silu", ctx=self.ctx)(h)
-
-        if self.dropout_prob > 0:
-            h = nn.Dropout(self.dropout_prob, deterministic=not train)(h)
+            film_out = nn.Dense(2 * self.features, name="film")(nn.silu(emb))
+            film = tuple(jnp.split(film_out, 2, axis=-1))
+        # GN + FiLM + SiLU + dropout: one fused epilogue (Pallas on TPU)
+        h = _GroupNorm(self.norm_groups, ctx=self.ctx, act="silu")(
+            h, film=film, dropout_p=p, dropout_rng=rng)
         h = _Conv(self.features, 3, padding_mode=self.padding_mode, ctx=self.ctx, zero_init=True)(h)
 
         if x.shape[-1] != self.features:

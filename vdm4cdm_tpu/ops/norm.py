@@ -1,14 +1,29 @@
-"""GroupNorm (+ fused activation), sharding-aware.
+"""GroupNorm (+ fused FiLM / activation / dropout epilogue), sharding-aware.
 
 The reference's ResBlocks use GroupNorm(8) + SiLU (SURVEY.md §2b CUNet row,
-``norm_groups=8`` at reference trainVDM3D_c_c_from_field_name_thick_lowbatch.py:61).
+``norm_groups=8`` at reference trainVDM3D_c_c_from_field_name_thick_lowbatch.py:61),
+with a FiLM (scale-shift) embedding injection and dropout between the two convs.
 Statistics reduce over all spatial positions and the channels of each group —
 under spatial sharding that is a cross-shard reduction, implemented as local
 moments + ``lax.psum`` over the ``sp`` mesh axis.
 
-A fused Pallas TPU kernel for the unsharded hot path lives in
-ops/pallas/groupnorm.py; this module is the XLA reference implementation and
-the correctness oracle for it.
+Two execution paths:
+
+  * **Pallas fused kernel** (ops/pallas/fused_norm.py) — unsharded TPU hot
+    path: the whole normalize+affine(+FiLM)+SiLU+dropout chain in one kernel
+    on a lane-packed view, forward and backward. Measured motivation in that
+    module's docstring (GN+dropout = 2/3 of the flagship forward when left
+    to XLA). Gate: VDM4CDM_PALLAS_GN=0 disables.
+  * **XLA composition** (this module) — the correctness oracle, and the only
+    path under spatial sharding (needs the psum) or on CPU.
+
+The per-(batch, channel) affine generalization: every site is
+
+    y = dropout(act(groupnorm(x) * a + b)),   a/b (B, C)
+
+with a = gamma, b = beta for plain GroupNorm and a = gamma*(1+film_scale),
+b = beta*(1+film_scale)+film_shift for the FiLM site — so gradients to
+gamma/beta/FiLM flow through ordinary (B, C) JAX ops around the fused op.
 """
 
 from __future__ import annotations
@@ -21,11 +36,100 @@ import jax.numpy as jnp
 
 from ..parallel.halo import NO_SHARD, ShardCtx
 
-# Pallas fused kernel opt-in (TPU, unsharded only). The kernel's forward is a
-# single VMEM-resident two-sweep pass; its backward reuses this module via
-# custom_vjp, so training works. Toggle: VDM4CDM_PALLAS_GN=1 to enable
-# (default off until benchmarked ahead of XLA's fusion on real hardware).
-_PALLAS_GN = os.environ.get("VDM4CDM_PALLAS_GN", "0") == "1"
+# Pallas fused-norm gate: default ON for unsharded TPU (VDM4CDM_PALLAS_GN=0
+# to force the XLA composition everywhere).
+_PALLAS_GN = os.environ.get("VDM4CDM_PALLAS_GN", "1") == "1"
+
+
+def _seed_from_key(key: jax.Array) -> jnp.ndarray:
+    """(1,) int32 seed for the in-kernel TPU PRNG, from a JAX PRNG key."""
+    try:
+        data = jax.random.key_data(key)
+    except TypeError:
+        data = key
+    data = jnp.asarray(data).ravel().astype(jnp.uint32)
+    mixed = data[0] if data.shape[0] == 1 else data[0] ^ data[1]
+    return jax.lax.bitcast_convert_type(mixed.reshape(1), jnp.int32)
+
+
+def _use_fused(x: jnp.ndarray, ctx: ShardCtx) -> bool:
+    if not _PALLAS_GN or ctx.axis is not None:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from .pallas.fused_norm import supports
+
+    return supports(x.shape, x.dtype)
+
+
+def _xla_group_norm_stats(x, groups, eps, ctx):
+    """(mean, inv) per (batch, group), f32, with cross-shard psum."""
+    b, c = x.shape[0], x.shape[-1]
+    xg = x.reshape(b, -1, groups, c // groups)  # (B, S_local, G, C/G)
+    s1 = jnp.sum(xg, axis=(1, 3), dtype=jnp.float32)  # (B, G)
+    s2 = jnp.sum(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
+    count = xg.shape[1] * xg.shape[3]
+    if ctx.axis is not None:
+        s1 = jax.lax.psum(s1, ctx.axis)
+        s2 = jax.lax.psum(s2, ctx.axis)
+        count = count * ctx.axis_size()
+    mean = s1 / count
+    var = s2 / count - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    return mean, inv
+
+
+def norm_affine_act(
+    x: jnp.ndarray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    groups: int,
+    eps: float = 1e-6,
+    act: Optional[str] = None,
+    dropout_p: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    ctx: ShardCtx = NO_SHARD,
+) -> jnp.ndarray:
+    """y = dropout(act(groupnorm(x) * a + b)); x (B, *spatial, C), a/b (B, C)."""
+    if act not in (None, "silu"):
+        raise ValueError(f"unknown act {act!r}")
+    if dropout_p > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_p > 0 requires dropout_rng")
+    c = x.shape[-1]
+    assert c % groups == 0, f"channels {c} not divisible by groups {groups}"
+
+    if _use_fused(x, ctx):
+        from .pallas.fused_norm import fused_norm_affine
+
+        seed = (
+            _seed_from_key(dropout_rng)
+            if dropout_p > 0.0
+            else jnp.zeros((1,), jnp.int32)
+        )
+        return fused_norm_affine(
+            x, a.astype(jnp.float32), b.astype(jnp.float32), seed,
+            groups, eps, act, float(dropout_p))
+
+    # ---- XLA composition (oracle; sharded and CPU path) ---------------------
+    # Moments accumulate in f32; the activation tensor itself is NEVER upcast
+    # (a full f32 copy of a bf16 128^3 volume is what blows HBM at scale).
+    bsz = x.shape[0]
+    mean, inv = _xla_group_norm_stats(x, groups, eps, ctx)
+    shape_bc = (bsz,) + (1,) * (x.ndim - 2) + (c,)
+    inv_c = jnp.repeat(inv, c // groups, axis=-1)    # (B, C)
+    mean_c = jnp.repeat(mean, c // groups, axis=-1)
+    # fold the normalization into the per-(batch, channel) affine
+    aa = (inv_c * a.astype(jnp.float32)).reshape(shape_bc)
+    bb = (b.astype(jnp.float32) - mean_c * a.astype(jnp.float32) * inv_c).reshape(
+        shape_bc
+    )
+    out = x * aa.astype(x.dtype) + bb.astype(x.dtype)
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    if dropout_p > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, out.shape)
+        out = jnp.where(keep, out / (1.0 - dropout_p), jnp.zeros((), out.dtype))
+    return out
 
 
 def group_norm(
@@ -37,42 +141,34 @@ def group_norm(
     act: Optional[str] = None,
     ctx: ShardCtx = NO_SHARD,
 ) -> jnp.ndarray:
-    """x: (B, *spatial, C) channels-last; scale/bias: (C,).
+    """Plain GroupNorm: x (B, *spatial, C) channels-last; scale/bias (C,).
 
     act: None | "silu" (fused activation).
     """
-    if _PALLAS_GN and ctx.axis is None and jax.default_backend() == "tpu":
-        from .pallas.groupnorm import fused_group_norm_vjp
+    bsz = x.shape[0]
+    a = jnp.broadcast_to(scale.astype(jnp.float32)[None], (bsz, scale.shape[0]))
+    b = jnp.broadcast_to(bias.astype(jnp.float32)[None], (bsz, bias.shape[0]))
+    return norm_affine_act(x, a, b, groups, eps=eps, act=act, ctx=ctx)
 
-        return fused_group_norm_vjp(x, scale, bias, groups, eps, act, False)
-    b = x.shape[0]
-    c = x.shape[-1]
-    assert c % groups == 0, f"channels {c} not divisible by groups {groups}"
 
-    # Moments accumulate in f32 via the reduction dtype — the activation tensor
-    # itself is NEVER upcast (a full f32 copy of a bf16 128^3 volume is what
-    # blows HBM at scale).
-    xg = x.reshape(b, -1, groups, c // groups)  # (B, S_local, G, C/G)
-    s1 = jnp.sum(xg, axis=(1, 3), dtype=jnp.float32)  # (B, G)
-    s2 = jnp.sum(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
-    count = xg.shape[1] * xg.shape[3]
-    if ctx.axis is not None:
-        s1 = jax.lax.psum(s1, ctx.axis)
-        s2 = jax.lax.psum(s2, ctx.axis)
-        count = count * ctx.axis_size()
-    mean = s1 / count
-    var = s2 / count - mean * mean
-    inv = jax.lax.rsqrt(var + eps)  # (B, G) f32
-
-    # fold scale into inv and bias into shift: out = x * a + b, all in x.dtype
-    shape_bc = (b,) + (1,) * (x.ndim - 2) + (c,)
-    inv_c = jnp.repeat(inv, c // groups, axis=-1).reshape(shape_bc)
-    mean_c = jnp.repeat(mean, c // groups, axis=-1).reshape(shape_bc)
-    a = inv_c * scale.astype(jnp.float32)
-    sh = bias.astype(jnp.float32) - mean_c * a
-    out = x * a.astype(x.dtype) + sh.astype(x.dtype)
-    if act == "silu":
-        out = out * jax.nn.sigmoid(out)
-    elif act is not None:
-        raise ValueError(f"unknown act {act!r}")
-    return out
+def group_norm_film(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    film_scale: jnp.ndarray,
+    film_shift: jnp.ndarray,
+    groups: int,
+    eps: float = 1e-6,
+    act: Optional[str] = "silu",
+    dropout_p: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    ctx: ShardCtx = NO_SHARD,
+) -> jnp.ndarray:
+    """The ResBlock FiLM site: dropout(act(GN(x) * (1+fs) + fsh)) with GN's own
+    gamma/beta folded in. film_scale/film_shift: (B, C)."""
+    one_fs = 1.0 + film_scale.astype(jnp.float32)
+    a = scale.astype(jnp.float32)[None] * one_fs
+    b = bias.astype(jnp.float32)[None] * one_fs + film_shift.astype(jnp.float32)
+    return norm_affine_act(
+        x, a, b, groups, eps=eps, act=act,
+        dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=ctx)

@@ -37,10 +37,13 @@ def make_optimizer(
     grad_clip: float = 0.5,
     weight_decay: float = 0.0,
     warmup_steps: int = 0,
+    moment_dtype: Any = None,
 ) -> optax.GradientTransformation:
+    """moment_dtype: dtype for Adam's first moment (optax ``mu_dtype``), e.g.
+    jnp.bfloat16 to shave HBM at large model/volume sizes; None = float32."""
     lr = make_lr_schedule(learning_rate, warmup_steps)
     parts = []
     if grad_clip and grad_clip > 0:
         parts.append(optax.clip_by_global_norm(grad_clip))
-    parts.append(optax.adamw(lr, weight_decay=weight_decay))
+    parts.append(optax.adamw(lr, weight_decay=weight_decay, mu_dtype=moment_dtype))
     return optax.chain(*parts)
