@@ -226,7 +226,14 @@ class TestDDNM:
         y = A(x_true)
         x = ddnm_sample(vdm, params, jax.random.PRNGKey(11), y, A, A,
                         n_sampling_steps=5, l=[0, 1, 2, 1, 0])
-        np.testing.assert_allclose(np.asarray(A(x)), np.asarray(y), atol=1e-4)
+        # The identity A(x0t_r) == y is exact in real arithmetic, but in f32
+        # the cancellation  A(x0t) - A(AT(A(x0t)))  leaves a residual that
+        # scales with |x0t| — and an UNTRAINED model's x0t can be huge (the
+        # 1/alpha_t factor is ~770 at t~1). Tolerance must be relative to the
+        # magnitude the projector actually cancelled, not absolute.
+        scale = max(1.0, float(np.abs(np.asarray(x)).max()))
+        np.testing.assert_allclose(np.asarray(A(x)), np.asarray(y),
+                                   atol=1e-5 * scale)
         assert np.isfinite(np.asarray(x)).all()
 
     def test_return_all_trajectory(self, tiny_vdm):
