@@ -34,8 +34,16 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv import conv_nd
-from ..ops.norm import group_norm, group_norm_film
+import os
+
+from ..ops.conv import conv_nd, conv_packed
+from ..ops.norm import (
+    group_norm,
+    group_norm_film,
+    packed_group_norm_film,
+    packed_norm_affine_act,
+)
+from ..ops.packed import Packed, block_packable, pack, pack_factor, unpack
 from ..ops.resample import downsample_conv, upsample_nearest
 from ..parallel.halo import (
     NO_SHARD,
@@ -69,11 +77,16 @@ class _Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        nd = x.ndim - 2
-        kshape = (self.kernel_size,) * nd + (x.shape[-1], self.features)
+        packed = isinstance(x, Packed)
+        nd = 3 if packed else x.ndim - 2
+        cin = x.channels if packed else x.shape[-1]
+        kshape = (self.kernel_size,) * nd + (cin, self.features)
         init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         w = self.param("kernel", init, kshape, jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if packed:
+            assert self.stride == 1
+            return conv_packed(x, w, b, padding_mode=self.padding_mode)
         if self.stride == 2:
             return downsample_conv(x, w, b, padding_mode=self.padding_mode, ctx=self.ctx)
         return conv_nd(x, w, b, stride=self.stride, padding_mode=self.padding_mode, ctx=self.ctx)
@@ -92,9 +105,14 @@ class _GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, film=None, dropout_p: float = 0.0, dropout_rng=None):
-        c = x.shape[-1]
+        packed = isinstance(x, Packed)
+        c = x.channels if packed else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if packed:
+            return packed_group_norm_film(
+                x, scale, bias, film, self.groups, act=self.act,
+                dropout_p=dropout_p, dropout_rng=dropout_rng)
         if film is None and dropout_p == 0.0:
             return group_norm(x, scale, bias, self.groups, act=self.act,
                               ctx=self.ctx)
@@ -138,6 +156,10 @@ class ResBlock(nn.Module):
             h, film=film, dropout_p=p, dropout_rng=rng)
         h = _Conv(self.features, 3, padding_mode=self.padding_mode, ctx=self.ctx, zero_init=True)(h)
 
+        if isinstance(x, Packed):
+            if x.channels != self.features:
+                x = _Conv(self.features, 1, ctx=self.ctx, name="skip_proj")(x)
+            return Packed(x.data + h.data, h.spatial, h.channels, h.p)
         if x.shape[-1] != self.features:
             x = _Conv(self.features, 1, ctx=self.ctx, name="skip_proj")(x)
         return x + h
@@ -197,6 +219,12 @@ class CUNet(nn.Module):
     # full-resolution levels hold nearly all activation bytes; deeper levels'
     # activations are cheap to keep). None = all levels when remat is set.
     remat_levels: Optional[int] = None
+    # Block-granular remat: names of specific ResBlocks to rematerialize
+    # REGARDLESS of `remat` (e.g. ("down_0_0", "down_0_1") — the encoder's
+    # full-resolution blocks, whose activations live longest in the backward).
+    # The cheapest point on the memory/recompute curve when full no-remat
+    # misses HBM by a few hundred MB.
+    remat_blocks: Sequence[str] = ()
 
     @property
     def ndim_spatial(self) -> int:
@@ -249,42 +277,81 @@ class CUNet(nn.Module):
             use = self.remat and (
                 self.remat_levels is None or level < self.remat_levels
             )
+            use = use or kw.get("name") in tuple(self.remat_blocks)
             return (rematted if use else ResBlock)(*args, **kw)
+
+        # -- packed-carrier plumbing (TPU 3D hot path) ------------------------
+        # Between resample/concat boundaries, activations ride the lane-dense
+        # packed form the Pallas kernels natively consume (ops/packed.py):
+        # no 128-lane padding in HBM, no relayout copies around custom calls.
+        packed_env = os.environ.get("VDM4CDM_PACKED", "auto")
+        use_packed = (
+            packed_env != "0"
+            and (packed_env == "1" or jax.default_backend() == "tpu")
+            and ctx.axis is None
+            and self.ndim_spatial == 3
+        )
+
+        def _arr(h):
+            return unpack(h) if isinstance(h, Packed) else h
+
+        def prep(h, feat):
+            """Pack h for an upcoming ResBlock(C -> feat) when the whole block
+            can run on the carrier; otherwise hand it over unpacked."""
+            if not use_packed:
+                return _arr(h)
+            if isinstance(h, Packed):
+                sp, c, p = h.spatial, h.channels, h.p
+            else:
+                sp, c = tuple(h.shape[1:-1]), h.shape[-1]
+                p = pack_factor(c)
+            if block_packable(sp, c, feat, p, self.compute_dtype):
+                return h if isinstance(h, Packed) else pack(h, p)
+            return _arr(h)
 
         # -- encoder ----------------------------------------------------------
         h = _Conv(self.chs[0], 3, padding_mode=pm, ctx=ctx, name="conv_in")(x)
         skips = [h]
         for level, ch in enumerate(self.chs):
             for blk in range(self.num_res_blocks):
+                h = prep(h, ch)
                 h = Res(level, ch, ng, self.dropout_prob, pm, ctx, train,
                         name=f"down_{level}_{blk}")(h, emb)
                 skips.append(h)
             if level < len(self.chs) - 1:
                 h = _Conv(ch, 3, stride=2, padding_mode=pm, ctx=ctx,
-                          name=f"downsample_{level}")(h)
+                          name=f"downsample_{level}")(_arr(h))
                 skips.append(h)
 
         # -- bottleneck ---------------------------------------------------------
         mid_level = len(self.chs) - 1
+        h = prep(h, self.chs[-1])
         h = Res(mid_level, self.chs[-1], ng, self.dropout_prob, pm, ctx, train,
                 name="mid_0")(h, emb)
         if self.mid_attn:
-            h = AttentionBlock(self.n_attention_heads, ng, ctx, name="mid_attn")(h)
+            h = AttentionBlock(self.n_attention_heads, ng, ctx,
+                               name="mid_attn")(_arr(h))
+        h = prep(h, self.chs[-1])
         h = Res(mid_level, self.chs[-1], ng, self.dropout_prob, pm, ctx, train,
                 name="mid_1")(h, emb)
 
         # -- decoder ----------------------------------------------------------
         for level, ch in reversed(list(enumerate(self.chs))):
             for blk in range(self.num_res_blocks + 1):
-                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = jnp.concatenate([_arr(h), _arr(skips.pop())], axis=-1)
+                h = prep(h, ch)
                 h = Res(level, ch, ng, self.dropout_prob, pm, ctx, train,
                         name=f"up_{level}_{blk}")(h, emb)
             if level > 0:
-                h = upsample_nearest(h)
-                h = _Conv(ch, 3, padding_mode=pm, ctx=ctx, name=f"upsample_{level}")(h)
+                h = upsample_nearest(_arr(h))
+                h = prep(h, ch) if use_packed and not isinstance(h, Packed)                     and block_packable(tuple(h.shape[1:-1]), h.shape[-1], ch,
+                                       pack_factor(h.shape[-1]),
+                                       self.compute_dtype) else h
+                h = _Conv(ch, 3, padding_mode=pm, ctx=ctx,
+                          name=f"upsample_{level}")(h)
         assert not skips
 
         h = _GroupNorm(ng, act="silu", ctx=ctx, name="norm_out")(h)
         h = _Conv(self.shape[0], 3, padding_mode=pm, ctx=ctx, zero_init=True,
-                  name="conv_out")(h)
+                  name="conv_out")(_arr(h))
         return h.astype(jnp.float32)

@@ -241,3 +241,47 @@ def _conv_taps(x: jnp.ndarray, w: jnp.ndarray, pads) -> jnp.ndarray:
         term = xp[sl] @ w[taps]
         out = term if out is None else out + term
     return out
+
+
+# ----------------------------------------------------- packed-carrier entries
+
+
+def conv_packed(pk, w, b=None, padding_mode: str = "zeros"):
+    """conv_nd on a :class:`~vdm4cdm_tpu.ops.packed.Packed` carrier (stride 1,
+    k in {1, 3}): k=3 runs the Pallas packed conv directly on the carrier
+    (no reshape/relayout); k=1 is a single block-diagonal matmul on the
+    packed rows. Falls back to unpack -> conv_nd -> repack off-TPU."""
+    from .packed import Packed, pack, unpack
+
+    assert isinstance(pk, Packed)
+    nd = 3
+    ksizes = w.shape[:-2]
+    cin, cout = w.shape[-2], w.shape[-1]
+    assert cin == pk.channels, (cin, pk.channels)
+    p = pk.p
+
+    if ksizes == (1, 1, 1):
+        # block-diagonal lane matmul: packed slot j maps through w[0,0,0]
+        w0 = w[0, 0, 0].astype(pk.data.dtype)  # (Cin, Cout)
+        bd = jnp.zeros((p * cin, p * cout), pk.data.dtype)
+        for j in range(p):
+            bd = bd.at[j * cin:(j + 1) * cin, j * cout:(j + 1) * cout].set(w0)
+        out = pk.data @ bd
+        if b is not None:
+            out = out + jnp.tile(b.astype(out.dtype), p)
+        return Packed(out, pk.spatial, cout, p)
+
+    if (
+        ksizes == (3, 3, 3)
+        and _CONV_IMPL in ("auto", "pallas")
+        and (_CONV_IMPL == "pallas" or jax.default_backend() == "tpu")
+    ):
+        from .pallas.conv3d import conv3d_pallas_packed
+
+        out = conv3d_pallas_packed(pk.data, w, padding_mode, pk.spatial)
+        if b is not None:
+            out = out + jnp.tile(b.astype(out.dtype), p)
+        return Packed(out, pk.spatial, cout, p)
+
+    out = conv_nd(unpack(pk), w, b, stride=1, padding_mode=padding_mode)
+    return pack(out, p=p)

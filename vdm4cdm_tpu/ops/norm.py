@@ -172,3 +172,72 @@ def group_norm_film(
     return norm_affine_act(
         x, a, b, groups, eps=eps, act=act,
         dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=ctx)
+
+
+# ----------------------------------------------------- packed-carrier entries
+
+
+def packed_norm_affine_act(
+    pk,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    groups: int,
+    eps: float = 1e-6,
+    act: Optional[str] = None,
+    dropout_p: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """norm_affine_act on a :class:`~vdm4cdm_tpu.ops.packed.Packed` carrier —
+    the fused kernel runs directly on the packed rows (no reshape, no
+    relayout). Falls back to the XLA composition via unpack/repack when the
+    fused kernel is unavailable (CPU tests, interpret mode)."""
+    from .packed import Packed, pack, unpack
+
+    assert isinstance(pk, Packed)
+    if act not in (None, "silu"):
+        raise ValueError(f"unknown act {act!r}")
+    if dropout_p > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_p > 0 requires dropout_rng")
+    if _PALLAS_GN and jax.default_backend() == "tpu":
+        from .pallas.fused_norm import fused_norm_affine_packed
+
+        seed = (
+            _seed_from_key(dropout_rng)
+            if dropout_p > 0.0
+            else jnp.zeros((1,), jnp.int32)
+        )
+        flat = pk.flat_rows()
+        out = fused_norm_affine_packed(
+            flat, a.astype(jnp.float32), b.astype(jnp.float32), seed,
+            pk.channels, groups, eps, act, float(dropout_p))
+        return Packed(out.reshape(pk.data.shape), pk.spatial, pk.channels, pk.p)
+    out = norm_affine_act(
+        unpack(pk), a, b, groups, eps=eps, act=act,
+        dropout_p=dropout_p, dropout_rng=dropout_rng)
+    return pack(out, p=pk.p)
+
+
+def packed_group_norm_film(
+    pk,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    film,
+    groups: int,
+    eps: float = 1e-6,
+    act: Optional[str] = "silu",
+    dropout_p: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """ResBlock epilogue on a Packed carrier; ``film`` is an optional
+    (scale, shift) pair of (B, C) arrays."""
+    bsz, c = pk.data.shape[0], pk.channels
+    a = jnp.broadcast_to(scale.astype(jnp.float32)[None], (bsz, c))
+    b = jnp.broadcast_to(bias.astype(jnp.float32)[None], (bsz, c))
+    if film is not None:
+        fs, fsh = film
+        one_fs = 1.0 + fs.astype(jnp.float32)
+        a = a * one_fs
+        b = b * one_fs + fsh.astype(jnp.float32)
+    return packed_norm_affine_act(
+        pk, a, b, groups, eps=eps, act=act,
+        dropout_p=dropout_p, dropout_rng=dropout_rng)

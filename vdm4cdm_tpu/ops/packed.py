@@ -1,0 +1,113 @@
+"""Packed activation carrier: channel-packed dense rows for the 3D hot path.
+
+Why (measured, docs/DESIGN.md round 2): XLA stores channels-last (…, W, C)
+activations with the minor dim padded to 128 lanes — a C=32 bf16 volume
+occupies 4x its logical bytes in HBM, and every Pallas custom call (which
+requires the default dense layout) inserts a physical relayout copy around
+it. At the flagship 128^3 step this padding inflation is what forces
+rematerialization (activations alone exceed the 16 GB chip) and the relayout
+copies are among the largest data movers in the HLO.
+
+The fix: between resample/concat boundaries, keep each UNet level's
+activations in the kernels' native PACKED form
+
+    (B, D, H*W/p, p*C)   with p*C a multiple of 128
+
+— lane-dense, default layout, zero padding. ``Packed`` carries the static
+geometry; the Pallas conv / fused-norm ops consume and produce it directly
+(conv3d_pallas_packed / fused_norm_affine_packed), so inside a ResBlock no
+reshape or relayout ever materializes. Packing/unpacking happens only at
+level boundaries (downsample, upsample, concat, attention, conv_in/out),
+where a layout change would have happened anyway.
+
+The pack factor ``p`` is a property of the tensor, not of C alone: ops
+propagate the carrier's p (e.g. a 96-channel decoder concat packs at p=4, so
+the conv that maps it to 64 channels emits 64-channel rows still packed at
+p=4 — valid, since 4*64 is a multiple of 128).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+def pack_factor(C: int) -> Optional[int]:
+    for p in (1, 2, 4, 8):
+        if (p * C) % 128 == 0:
+            return p
+    return None
+
+
+@struct.dataclass
+class Packed:
+    """Channel-packed activation: data (B, D, H*W/p, p*C)."""
+
+    data: jnp.ndarray
+    spatial: Tuple[int, int, int] = struct.field(pytree_node=False)
+    channels: int = struct.field(pytree_node=False)
+    p: int = struct.field(pytree_node=False)
+
+    @property
+    def batch(self) -> int:
+        return self.data.shape[0]
+
+    def flat_rows(self) -> jnp.ndarray:
+        """(B, D*H*W/p, p*C) view — free reshape on the dense carrier."""
+        b, d, r, l = self.data.shape
+        return self.data.reshape(b, d * r, l)
+
+
+def pack(x: jnp.ndarray, p: Optional[int] = None) -> Packed:
+    """x (B, D, H, W, C) -> Packed. On lane-padded layouts this is a physical
+    relayout (that is the point: do it once per level boundary, not per op)."""
+    b, d, h, w, c = x.shape
+    p = p or pack_factor(c)
+    assert p is not None and w % p == 0, (x.shape, p)
+    return Packed(x.reshape(b, d, h * w // p, p * c), (d, h, w), c, p)
+
+
+def unpack(pk: Packed) -> jnp.ndarray:
+    d, h, w = pk.spatial
+    return pk.data.reshape(pk.batch, d, h, w, pk.channels)
+
+
+def conv_packable(spatial, cin: int, cout: int, p: int, dtype) -> bool:
+    from .pallas import conv3d as _c3
+
+    d, h, w = spatial
+    if p is None or w % p or (p * cin) % 128 or p * cout > 512:
+        return False
+    if cin < 8 or cout < 8 or h < 2 or w < 8:
+        return False
+    geo = _c3._geometry(d, h, w, cin, cout, p_override=p)
+    return geo[2] is not None
+
+
+def norm_packable(spatial, c: int, p: int, rows_batchdim: int, dtype) -> bool:
+    from .pallas import fused_norm as _fn
+
+    d, h, w = spatial
+    if p is None or (p * c) % 128 or w % p:
+        return False
+    s_rows = d * h * w // p
+    sublane = 16 if dtype == jnp.bfloat16 else 8
+    return _fn._tile_rows(s_rows, sublane, p * c) is not None
+
+
+def block_packable(spatial, cin: int, features: int, p: Optional[int],
+                   dtype) -> bool:
+    """Can a whole ResBlock (GN(cin) -> conv(cin->F) -> GN(F) -> conv(F->F))
+    run on the packed carrier at pack factor p?"""
+    if p is None:
+        return False
+    return (
+        norm_packable(spatial, cin, p, 0, dtype)
+        and norm_packable(spatial, features, p, 0, dtype)
+        and conv_packable(spatial, cin, features, p, dtype)
+        and conv_packable(spatial, features, features, p, dtype)
+    )

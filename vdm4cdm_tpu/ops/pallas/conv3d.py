@@ -1,41 +1,49 @@
-"""Pallas TPU kernel: thin-channel 3x3x3 convolution via packed im2col-in-VMEM.
+"""Pallas TPU kernel: thin-channel 3x3x3 convolution via banded packed GEMMs.
 
 Why this exists (measured, experiments/microbench_ops.py): XLA lowers a
-channels-last conv3d with Cin=Cout=32 to per-tap GEMMs with K=N=32, using
-~6% of the MXU — 11.4 TFLOP/s at 128^3 where a 128-channel conv hits 103.
+channels-last conv3d with Cin=Cout=32 to per-tap GEMMs with K=N=32, using a
+sliver of the MXU — ~10 TFLOP/s at 128^3 where a 128-channel conv hits 103.
 The reference's flagship 3D UNets (chs [32,64,128,256] at 128^3, reference
 trainVDM3D128_c_c, configs.yaml:1-18) spend most of their step time in exactly
-these thin convolutions.
+these thin convolutions. On this platform the binding resource is measured
+HBM bandwidth (~150 GB/s ceiling under XLA, ~95 GB/s through Pallas block
+pipelines — see docs/DESIGN.md), so the kernel is organized to move each
+input byte ~(dT+2)/dT times instead of 3x.
 
-Design (TPU-first, no reference analog — the reference delegates to cuDNN):
+Design v2 (TPU-first, no reference analog — the reference delegates to cuDNN):
 
   * each D-plane is viewed FLAT and CHANNEL-PACKED: ``(H*W/p, p*C)`` with
-    p = 128//C — a free reshape that makes the lane dimension dense at 128
-    (the natural ``(..., W, 32)`` layout pads 32 -> 128 lanes, wasting 4x of
-    every byte moved). One packed row = p consecutive w-voxels;
-  * in this "helical" flat layout a (dy, u) tap is a CONTIGUOUS slice at a
-    static row offset — no reshapes (Mosaic cannot lane<->sublane shape-cast),
-    no gathers. The p inner window slots are ONE dense 128-lane copy; only
-    the two edge slots (u=0, u=p+1) are thin C-lane copies, and only they
-    need the helical-vs-periodic w-wrap fix (a masked select from the same
-    buffer ±W/p rows away);
-  * halos: the packed plane is wrap-padded (circular) or zero-padded (zeros)
-    in XLA and gathered into per-tile overlapping windows, so the kernel sees
-    disjoint blocks and Pallas double-buffers the HBM traffic automatically.
-    dz = ±1 planes arrive as two extra (d±1) mod D wrap-indexed BlockSpec
-    refs — circular padding costs nothing anywhere;
-  * ONE MXU GEMM per tile: im2col (M, 9*(p+2)*C) @ Wq ((p+2)*9*C, p*Cout).
-    K >= 1296 and N = p*Cout = 128 fill the MXU completely; the (p+2)/3-fold
-    tap-window redundancy (zeros in Wq) is the price — net ~6x more useful
-    MXU throughput than XLA's K=N=32 form at C=32;
+    the smallest p in {1,2,4,8} making p*C a multiple of 128 — a free
+    row-major reshape that makes the lane dimension dense (the natural
+    ``(..., W, 32)`` layout wastes 3/4 of every byte moved on lane padding).
+    One packed row y*(W/p) + s holds the p voxels w = s*p + j;
+  * per grid step, a block of dT consecutive output planes is computed from
+    dT+2 FULL-PLANE windows (rows + 2*O each) DMA'd from the UNPADDED packed
+    planes in HBM. Window row indices wrap mod the plane (= the circular y
+    boundary); the plane index wraps mod D (= the circular z boundary).
+    Zeros mode instead zeroes the O-overlap rows and skips the wrapped
+    boundary planes' GEMMs. Sharing the windows across dT output planes cuts
+    HBM reads from 3x the volume to (dT+2)/dT x;
+  * the 27 taps factor into 9 (dz, dy) pairs x 3 in-row w-taps. For each
+    (dz, dy), ONE banded GEMM  A @ Wq  with A = (rows, p*C) of the window at
+    static row offset (dy-1)*W/p and Wq (p*C, p*Cout) holding w[dz,dy,kx] on
+    band (j+kx-1) -> j (K = p*C >= 128, N = p*Cout: full MXU tiles, no
+    copies — v1's im2col materialization is gone, see git history). The two
+    cross-row taps (output slot j=0 needs voxel w-1 from the previous row's
+    last lane block; j=p-1 needs w+1 from the next row's first block) become
+    two thin (rows, C) edge copies — the only place the helical-vs-periodic
+    w-wrap needs fixing (a masked select from +-W/p rows away) — batched
+    across the 9 (dz, dy) into two (rows, 9*C) scratches and TWO GEMMs with
+    K = 9*C;
   * backward: dx is the same kernel with spatially-flipped, io-transposed
-    weights (transpose of a SAME k3/s1 conv; circular stays circular), and dw
-    is ``im2col^T @ cotangent`` accumulated across the sequential grid in a
-    VMEM scratch and un-packed on the host — wired via jax.custom_vjp.
+    weights (transpose of a SAME k3/s1 conv; circular stays circular), and
+    dw accumulates the SAME banded/edge GEMM structure transposed (K = rows:
+    full MXU) into f32 scratches across the sequential grid, un-banded on
+    the host — wired via jax.custom_vjp.
 
-Scope: 3D, kernel 3^3, stride 1, circular or zeros padding. Anything else
-falls back to the XLA path in ops/conv.py (which is also the oracle for the
-equivalence tests in tests/test_pallas_conv3d.py).
+Scope: 3D, kernel 3^3, stride 1, circular or zeros padding, full plane in
+VMEM. Anything else falls back to the XLA path in ops/conv.py (which is also
+the oracle for the equivalence tests in tests/test_pallas_conv3d.py).
 """
 
 from __future__ import annotations
@@ -49,44 +57,60 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# im2col tile budget (bytes); the DMA slots and out blocks sit on top, all
-# well under the raised 64 MB scoped-vmem limit. Bigger tiles = fewer grid
-# steps = less per-step overhead. Env-tunable for experiments.
+# VMEM working-set budget (bytes) for tile sizing. Env-tunable.
 import os as _os
 
-_IM2COL_BUDGET = int(_os.environ.get("VDM4CDM_PALLAS_IM2COL_MB", "14")) * 1024 * 1024
+_VMEM_BUDGET = int(_os.environ.get("VDM4CDM_PALLAS_CONV_MB", "30")) * 1024 * 1024
 
 
 def _pack_factor(W: int, C: int):
     # smallest pack factor whose packed row is a whole number of 128-lane
-    # tiles (sliced DMA requires it) — smallest minimizes the (p+2)/3-fold
-    # tap-window flop redundancy
+    # tiles; smallest minimizes the band-zero flop redundancy
     for p in (1, 2, 4, 8):
         if (p * C) % 128 == 0 and W % p == 0:
             return p
     return None
 
 
-def _geometry(H: int, W: int, C: int):
-    """(p, U, Wp, M) for the packed layout; M = packed rows per tile."""
-    p = _pack_factor(W, C)
-    if p is None:
-        return None, None, None, None
-    U = p + 2
+def _tile_bytes(dT: int, rows: int, O: int, p: int, C: int, Cout: int,
+                itemsize: int):
+    slots = (dT + 2) * (rows + 2 * O) * p * C * itemsize
+    acc = rows * p * Cout * 4
+    edges = 2 * rows * 9 * C * itemsize
+    out_blk = 2 * dT * rows * p * Cout * itemsize
+    wq = 9 * p * C * p * Cout * itemsize + 2 * 9 * C * Cout * itemsize
+    # Mosaic stack temps the kernel body keeps live: the f32 dot result being
+    # accumulated, plus the edge-select working set (wcol iota + two selects)
+    temps = rows * p * Cout * 4 + 12 * rows * C
+    return slots + acc + edges + out_blk + wq + temps
+
+
+def _geometry(D: int, H: int, W: int, C: int, Cout: int, itemsize: int = 2,
+              p_override: int = None):
+    """(p, Wp, dT): packed layout + planes per grid step (full-plane tiles).
+    ``p_override``: honor a caller-chosen pack factor (packed carriers keep a
+    level-wide p even where the canonical per-C factor would differ)."""
+    p = p_override or _pack_factor(W, C)
+    if p is None or (p * C) % 128 or W % p:
+        return None, None, None
     Wp = W // p
-    M = None
-    for th in range(1, H + 1):
-        if H % th:
+    rows = H * Wp
+    if rows % 8:
+        return None, None, None
+    O = -(-(2 * Wp + 2) // 8) * 8
+    # dT capped at 4: the kernel body unrolls 9*dT GEMMs + 18*dT edge copies,
+    # and Mosaic compile time explodes past that (dT=8 measured >15 min).
+    dT = None
+    for cand in (1, 2, 4):
+        if D % cand:
             continue
-        m = th * Wp
-        # DMA window sizes/offsets must align to the 8-sublane tiling
-        if m % 8 == 0 and m * 9 * U * C * 2 <= _IM2COL_BUDGET:
-            M = m
-    return p, U, Wp, M
+        if _tile_bytes(cand, rows, O, p, C, Cout, itemsize) <= _VMEM_BUDGET:
+            dT = cand
+    return p, Wp, dT
 
 
 def supports(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...], stride) -> bool:
-    """Can the Pallas path handle this conv? (3D, k=3, s=1, thin-ish chans.)"""
+    """Can the Pallas path handle this conv? (3D, k=3, s=1, packable chans.)"""
     if len(x_shape) != 5 or len(w_shape) != 5:
         return False
     if tuple(w_shape[:3]) != (3, 3, 3):
@@ -99,238 +123,383 @@ def supports(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...], stride) -> bool
         return False
     if cin < 8 or cout < 8 or H < 2 or W < 8:
         return False
-    p, U, Wp, M = _geometry(H, W, cin)
-    if M is None or p * cout > 512:
+    p, Wp, dT = _geometry(D, H, W, cin, cout)
+    if dT is None or p * cout > 512:
         return False
     return True
 
 
 def _pack_weights(w, p: int, dtype):
-    """w (3,3,3,C,Cout) -> Wq (9*(p+2)*C, p*Cout): window slot u feeds output
-    slot j through kernel tap kx = u - j when 0 <= kx <= 2, else zero."""
+    """w (3,3,3,C,Cout) -> (wq (9, pC, pCout) banded, w_lo (9C, Cout),
+    w_hi (9C, Cout)). Band: output slot j takes in-row tap kx from input slot
+    u = j + kx - 1 when 0 <= u <= p-1; u = -1 / p are the edge GEMMs."""
     C, Cout = w.shape[3], w.shape[4]
-    U = p + 2
-    u_idx = np.arange(U)[:, None]
-    j_idx = np.arange(p)[None, :]
-    kx = u_idx - j_idx                      # (U, p)
-    valid = (kx >= 0) & (kx <= 2)
-    # (3dz, 3dy, U, p, C, Cout) gathered from kernel tap kx
-    wq = w[:, :, np.clip(kx, 0, 2), :, :] * jnp.asarray(
-        valid[..., None, None], w.dtype)
-    wq = wq.transpose(0, 1, 2, 4, 3, 5)     # (dz, dy, U, C, p, Cout)
-    return wq.reshape(9 * U * C, p * Cout).astype(dtype)
+    wf = w.reshape(9, 3, C, Cout)
+    wq = jnp.zeros((9, p * C, p * Cout), w.dtype)
+    for j in range(p):
+        for kx in range(3):
+            u = j + kx - 1
+            if 0 <= u <= p - 1:
+                wq = wq.at[:, u * C:(u + 1) * C,
+                           j * Cout:(j + 1) * Cout].set(wf[:, kx])
+    w_lo = wf[:, 0].reshape(9 * C, Cout)   # tap kx=0 feeding slot j=0
+    w_hi = wf[:, 2].reshape(9 * C, Cout)   # tap kx=2 feeding slot j=p-1
+    return wq.astype(dtype), w_lo.astype(dtype), w_hi.astype(dtype)
 
 
-def _unpack_dw(dwq, p: int, C: int, Cout: int, w_dtype):
-    """Inverse of _pack_weights for gradients: sum each (u, j) diagonal."""
-    U = p + 2
-    g = dwq.reshape(3, 3, U, C, p, Cout)    # (dz, dy, u, ci, j, co)
+def _unpack_dw(dwq, dwlo, dwhi, p: int, C: int, Cout: int, w_dtype):
+    """Inverse of _pack_weights for gradients: sum the band diagonals."""
+    g = dwq.reshape(3, 3, p * C, p, Cout)        # (dz, dy, u*C+ci, j, co)
     taps = []
     for kx in range(3):
-        taps.append(sum(g[:, :, kx + j, :, j, :] for j in range(p)))
+        acc = None
+        for j in range(p):
+            u = j + kx - 1
+            if 0 <= u <= p - 1:
+                term = g[:, :, u * C:(u + 1) * C, j, :]
+                acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros((3, 3, C, Cout), dwq.dtype)
+        taps.append(acc)
+    taps[0] = taps[0] + dwlo.reshape(3, 3, C, Cout)
+    taps[2] = taps[2] + dwhi.reshape(3, 3, C, Cout)
     return jnp.stack(taps, axis=2).astype(w_dtype)  # (3, 3, 3, C, Cout)
 
 
-def _fill_im2col(im2col_ref, slots_ref, d, *, M, O, D, Wp, p, C, zeros):
-    """Build the (M, 9*(p+2)*C) packed im2col tile from the three DMA'd packed
-    flat-plane windows slots_ref (3, M + 2O, p*C). Reads slice the ref
-    directly (one live block at a time) to keep Mosaic's vector stack flat."""
-    U = p + 2
-    lanes_u0 = slice((p - 1) * C, p * C)
-    # supervoxel w-index of each row (tiles are Wp-aligned)
-    wcol = jax.lax.broadcasted_iota(jnp.int32, (M, C), 0) % Wp
-    for dz in range(3):
-        scale = None
-        if zeros and dz != 1:
-            edge = (d == 0) if dz == 0 else (d == D - 1)
-            scale = jnp.where(edge, 0, 1).astype(im2col_ref.dtype)
-
-        def rows(lo, lanes=slice(None), _dz=dz):
-            blk = slots_ref[_dz, lo:lo + M, lanes]
-            return blk if scale is None else blk * scale
-
-        for dyi in range(3):
-            base = O + (dyi - 1) * Wp
-            kblk = (dz * 3 + dyi) * U * C
-            # u = 1..p: one dense p*C-lane copy, never w-wrapped
-            im2col_ref[:, kblk + C:kblk + (p + 1) * C] = rows(base)
-            # u = 0: previous voxel = last lane-block of the previous row
-            blk = rows(base - 1, lanes_u0)
-            wrapped = wcol == 0
-            if zeros:
-                blk = jnp.where(wrapped, 0, blk)
-            else:
-                blk = jnp.where(wrapped, rows(base - 1 + Wp, lanes_u0), blk)
-            im2col_ref[:, kblk:kblk + C] = blk
-            # u = p+1: next voxel = first lane-block of the next row
-            blk = rows(base + 1, slice(0, C))
-            wrapped = wcol == Wp - 1
-            if zeros:
-                blk = jnp.where(wrapped, 0, blk)
-            else:
-                blk = jnp.where(wrapped, rows(base + 1 - Wp, slice(0, C)), blk)
-            im2col_ref[:, kblk + (p + 1) * C:kblk + U * C] = blk
-
-
-def _dma_windows(xq_ref, slots_ref, sems, b, d, m, *, M, O, D, rows, n, zeros):
-    """Fill the three VMEM plane windows (M + 2O rows each) straight from the
-    UNPADDED packed planes in HBM — no padded copy is ever materialized.
-    slot[dz] holds plane rows [mM - O, mM + M + O); each window is three DMA
-    segments (O | M | O rows) whose source offsets wrap mod the plane length,
-    which IS the circular boundary condition. Zeros mode overwrites the
-    wrapped edge rows afterwards. All offsets/sizes are multiples of 8 rows
-    (DMA tiling); the 9 segments are started together and waited together."""
+def _dma_windows(xq_ref, slots_ref, sems, b, dd, *, dT, O, D, rows, zeros):
+    """Fill the dT+2 VMEM plane windows (rows + 2O each) straight from the
+    UNPADDED packed planes in HBM. Window pz holds plane (dd*dT + pz - 1)
+    mod D; its three segments (O | rows | O) wrap row indices mod the plane,
+    which IS the circular y boundary. Zeros mode zeroes every O-overlap (the
+    overlap rows ARE the wrapped y rows for full-plane windows)."""
     copies = []
-    for dz in range(3):
-        dplane = jax.lax.rem(d + dz - 1 + D, D)
+    for pz in range(dT + 2):
+        dplane = jax.lax.rem(dd * dT + pz - 1 + D, D)
         for s, (src, dst, size) in enumerate((
-            (jax.lax.rem(m * M - O + rows, rows), 0, O),
-            (m * M, O, M),
-            (jax.lax.rem(m * M + M, rows), O + M, O),
+            (rows - O, 0, O),
+            (0, O, rows),
+            (0, O + rows, O),
         )):
-            # M, O, rows are all multiples of 8, so every offset is too —
-            # Mosaic can't prove that through the rem, hence the hint
             cp = pltpu.make_async_copy(
                 xq_ref.at[b, dplane, pl.ds(pl.multiple_of(src, 8), size), :],
-                slots_ref.at[dz, pl.ds(dst, size), :],
-                sems.at[dz, s],
+                slots_ref.at[pz, pl.ds(dst, size), :],
+                sems.at[pz, s],
             )
             cp.start()
             copies.append(cp)
     for cp in copies:
         cp.wait()
     if zeros:
-        for dz in range(3):
-            @pl.when(m == 0)
-            def _(_dz=dz):
-                slots_ref[_dz, 0:O, :] = jnp.zeros_like(slots_ref[_dz, 0:O, :])
-
-            @pl.when(m == n - 1)
-            def _(_dz=dz):
-                slots_ref[_dz, O + M:, :] = jnp.zeros_like(
-                    slots_ref[_dz, O + M:, :])
+        for pz in range(dT + 2):
+            slots_ref[pz, 0:O, :] = jnp.zeros_like(slots_ref[pz, 0:O, :])
+            slots_ref[pz, O + rows:, :] = jnp.zeros_like(
+                slots_ref[pz, O + rows:, :])
 
 
-def _fwd_kernel(xq_ref, w_ref, out_ref, im2col_ref, slots_ref, sems, *,
-                M, O, D, Wp, p, C, rows, n, zeros):
-    b, d, m = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    _dma_windows(xq_ref, slots_ref, sems, b, d, m,
-                 M=M, O=O, D=D, rows=rows, n=n, zeros=zeros)
-    _fill_im2col(im2col_ref, slots_ref, d,
-                 M=M, O=O, D=D, Wp=Wp, p=p, C=C, zeros=zeros)
-    acc = jnp.dot(im2col_ref[:, :], w_ref[:, :],
-                  preferred_element_type=jnp.float32)
-    out_ref[0, 0] = acc.astype(out_ref.dtype)
+def _dz_pred(dd, di, dz, dT, n_dd, zeros):
+    """Skip predicate for zeros mode at the z boundary; None = never skip.
+    Static in di/dz: only the first/last plane of the first/last block can
+    read a wrapped plane."""
+    if not zeros or dz == 1:
+        return None
+    if dz == 0 and di == 0:
+        return dd != 0
+    if dz == 2 and di == dT - 1:
+        return dd != n_dd - 1
+    return None
 
 
-def _dw_kernel(xq_ref, ct_ref, dw_ref, im2col_ref, slots_ref, sems, acc_ref, *,
-               M, O, D, Wp, p, C, rows, n, zeros):
-    b, d, m = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+def _fill_edges(slots_ref, elo_ref, ehi_ref, dd, di, *,
+                dT, n_dd, O, Wp, p, C, rows, zeros):
+    """Build the batched (rows, 9C) cross-row edge operands for output plane
+    di: for each (dz, dy), slot j=0's w-1 voxel (previous row, last lane
+    block) and slot j=p-1's w+1 voxel (next row, first block), with the
+    helical w-wrap fixed by a masked select +-Wp rows away (zeroed for zeros
+    padding). Zeros-masked boundary planes write zero columns so the batched
+    edge GEMMs stay unconditional."""
+    lanes_last = slice((p - 1) * C, p * C)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 0) % Wp
+    for dz in range(3):
+        pred = _dz_pred(dd, di, dz, dT, n_dd, zeros)
 
-    @pl.when((b == 0) & (d == 0) & (m == 0))
-    def _init():
+        def fill(_dz=dz):
+            pz = di + _dz
+            for dyi in range(3):
+                base = O + (dyi - 1) * Wp
+                i = _dz * 3 + dyi
+                lo = slots_ref[pz, base - 1:base + rows - 1, lanes_last]
+                if zeros:
+                    lo = jnp.where(wcol == 0, 0, lo)
+                else:
+                    lo = jnp.where(
+                        wcol == 0,
+                        slots_ref[pz, base - 1 + Wp:base + rows - 1 + Wp,
+                                  lanes_last],
+                        lo)
+                elo_ref[:, i * C:(i + 1) * C] = lo
+                hi = slots_ref[pz, base + 1:base + rows + 1, 0:C]
+                if zeros:
+                    hi = jnp.where(wcol == Wp - 1, 0, hi)
+                else:
+                    hi = jnp.where(
+                        wcol == Wp - 1,
+                        slots_ref[pz, base + 1 - Wp:base + rows + 1 - Wp, 0:C],
+                        hi)
+                ehi_ref[:, i * C:(i + 1) * C] = hi
+
+        def zero(_dz=dz):
+            z = jnp.zeros((rows, 3 * C), elo_ref.dtype)
+            elo_ref[:, _dz * 3 * C:(_dz + 1) * 3 * C] = z
+            ehi_ref[:, _dz * 3 * C:(_dz + 1) * 3 * C] = z
+
+        if pred is None:
+            fill()
+        else:
+            pl.when(pred)(fill)
+            pl.when(jnp.logical_not(pred))(zero)
+
+
+def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
+                slots_ref, sems, acc_ref, elo_ref, ehi_ref, *,
+                dT, O, D, Wp, p, C, Cout, rows, zeros):
+    b, dd = pl.program_id(0), pl.program_id(1)
+    n_dd = pl.num_programs(1)
+    _dma_windows(xq_ref, slots_ref, sems, b, dd,
+                 dT=dT, O=O, D=D, rows=rows, zeros=zeros)
+    for di in range(dT):
+        _fill_edges(slots_ref, elo_ref, ehi_ref, dd, di,
+                    dT=dT, n_dd=n_dd, O=O, Wp=Wp, p=p, C=C, rows=rows,
+                    zeros=zeros)
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        acc_ref[:, 0:Cout] += jax.lax.dot_general(
+            elo_ref[:, :], wlo_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:, (p - 1) * Cout:p * Cout] += jax.lax.dot_general(
+            ehi_ref[:, :], whi_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for dz in range(3):
+            pred = _dz_pred(dd, di, dz, dT, n_dd, zeros)
 
-    _dma_windows(xq_ref, slots_ref, sems, b, d, m,
-                 M=M, O=O, D=D, rows=rows, n=n, zeros=zeros)
-    _fill_im2col(im2col_ref, slots_ref, d,
-                 M=M, O=O, D=D, Wp=Wp, p=p, C=C, zeros=zeros)
-    acc_ref[:, :] += jax.lax.dot_general(
-        im2col_ref[:, :], ct_ref[0, 0],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+            def gemms(_dz=dz):
+                for dyi in range(3):
+                    base = O + (dyi - 1) * Wp
+                    acc_ref[:, :] += jax.lax.dot_general(
+                        slots_ref[di + _dz, base:base + rows, :],
+                        wq_ref[_dz * 3 + dyi],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
-    last = ((b == pl.num_programs(0) - 1) & (d == D - 1)
-            & (m == pl.num_programs(2) - 1))
+            if pred is None:
+                gemms()
+            else:
+                pl.when(pred)(gemms)
+        out_ref[0, di] = acc_ref[:, :].astype(out_ref.dtype)
+
+
+def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref,
+               slots_ref, sems, elo_ref, ehi_ref,
+               accq_ref, acclo_ref, acchi_ref, *,
+               dT, O, D, Wp, p, C, Cout, rows, zeros):
+    b, dd = pl.program_id(0), pl.program_id(1)
+    n_dd = pl.num_programs(1)
+
+    @pl.when((b == 0) & (dd == 0))
+    def _init():
+        accq_ref[:, :, :] = jnp.zeros_like(accq_ref)
+        acclo_ref[:, :] = jnp.zeros_like(acclo_ref)
+        acchi_ref[:, :] = jnp.zeros_like(acchi_ref)
+
+    _dma_windows(xq_ref, slots_ref, sems, b, dd,
+                 dT=dT, O=O, D=D, rows=rows, zeros=zeros)
+    for di in range(dT):
+        _fill_edges(slots_ref, elo_ref, ehi_ref, dd, di,
+                    dT=dT, n_dd=n_dd, O=O, Wp=Wp, p=p, C=C, rows=rows,
+                    zeros=zeros)
+        ct = ct_ref[0, di]
+        for dz in range(3):
+            pred = _dz_pred(dd, di, dz, dT, n_dd, zeros)
+
+            def gemms(_dz=dz):
+                for dyi in range(3):
+                    base = O + (dyi - 1) * Wp
+                    accq_ref[_dz * 3 + dyi] += jax.lax.dot_general(
+                        slots_ref[di + _dz, base:base + rows, :], ct,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+            if pred is None:
+                gemms()
+            else:
+                pl.when(pred)(gemms)
+        acclo_ref[:, :] += jax.lax.dot_general(
+            elo_ref[:, :], ct[:, 0:Cout],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acchi_ref[:, :] += jax.lax.dot_general(
+            ehi_ref[:, :], ct[:, (p - 1) * Cout:p * Cout],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    last = (b == pl.num_programs(0) - 1) & (dd == n_dd - 1)
 
     @pl.when(last)
     def _flush():
-        dw_ref[:, :] = acc_ref[:, :]
+        dwq_ref[:, :, :] = accq_ref[:, :, :]
+        dwlo_ref[:, :] = acclo_ref[:, :]
+        dwhi_ref[:, :] = acchi_ref[:, :]
 
 
-def _common_specs(p, M, O, U, C, Cout, dtype):
-    xp_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    w_spec = pl.BlockSpec((9 * U * C, p * Cout), lambda b, d, m: (0, 0),
-                          memory_space=pltpu.VMEM)
-    io_spec = pl.BlockSpec((1, 1, M, p * Cout), lambda b, d, m: (b, d, m, 0),
-                           memory_space=pltpu.VMEM)
-    scratch = [
-        pltpu.VMEM((M, 9 * U * C), dtype),
-        pltpu.VMEM((3, M + 2 * O, p * C), dtype),
-        pltpu.SemaphoreType.DMA((3, 3)),
-    ]
-    return xp_spec, w_spec, io_spec, scratch
+def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial):
+    """Packed-in/packed-out core: xq (B, D, H*W/p, p*C) channel-packed rows.
+    Returns (B, D, H*W/p, p*Cout). The packed form is the kernel's native
+    layout — models that keep activations packed between ops skip the
+    (physical, on padded-lane layouts) reshape copies entirely. The pack
+    factor comes from the carrier (xq's lane count / Cin)."""
+    D, H, W = spatial
+    B = xq.shape[0]
+    C = w.shape[3]
+    Cout = w.shape[-1]
+    p_in = xq.shape[-1] // C
+    p, Wp, dT = _geometry(D, H, W, C, Cout, p_override=p_in)
+    O = -(-(2 * Wp + 2) // 8) * 8  # 8-aligned DMA window
+    zeros = padding_mode != "circular"
+    rows = H * Wp
+    wq, wlo, whi = _pack_weights(w, p, xq.dtype)
+
+    kernel = functools.partial(
+        _fwd_kernel, dT=dT, O=O, D=D, Wp=Wp, p=p, C=C, Cout=Cout, rows=rows,
+        zeros=zeros)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, D // dT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, p * C, p * Cout), lambda b, dd: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, Cout), lambda b, dd: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, Cout), lambda b, dd: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, dT, rows, p * Cout),
+                               lambda b, dd: (b, dd, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D, rows, p * Cout), xq.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((dT + 2, rows + 2 * O, p * C), xq.dtype),
+            pltpu.SemaphoreType.DMA((dT + 2, 3)),
+            pltpu.VMEM((rows, p * Cout), jnp.float32),
+            pltpu.VMEM((rows, 9 * C), xq.dtype),
+            pltpu.VMEM((rows, 9 * C), xq.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * H * W * (9 * p + 6) * C * Cout,
+            bytes_accessed=(dT + 2) * B * D * H * W * C * xq.dtype.itemsize
+            // dT + B * D * H * W * Cout * xq.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xq, wq, wlo, whi)
+    return out
 
 
 def _conv_pallas_raw(x, w, padding_mode: str):
     B, D, H, W, C = x.shape
-    Cout = w.shape[-1]
-    p, U, Wp, M = _geometry(H, W, C)
-    O = -(-(2 * Wp + 2) // 8) * 8  # 8-aligned DMA window
-    zeros = padding_mode != "circular"
-    rows = H * W // p
-    n = rows // M
-    xq = x.reshape(B, D, rows, p * C)  # free view, no copy
-    wq = _pack_weights(w, p, x.dtype)
-    xp_spec, w_spec, io_spec, scratch = _common_specs(p, M, O, U, C, Cout, x.dtype)
-
-    kernel = functools.partial(
-        _fwd_kernel, M=M, O=O, D=D, Wp=Wp, p=p, C=C, rows=rows, n=n,
-        zeros=zeros)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, D, n),
-        in_specs=[xp_spec, w_spec],
-        out_specs=io_spec,
-        out_shape=jax.ShapeDtypeStruct((B, D, rows, p * Cout), x.dtype),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * D * H * W * 9 * U * C * Cout,
-            bytes_accessed=3 * B * D * H * W * C * x.dtype.itemsize
-            + B * D * H * W * Cout * x.dtype.itemsize,
-            transcendentals=0,
-        ),
-    )(xq, wq)
-    return out.reshape(B, D, H, W, Cout)
+    p = _pack_factor(W, C)
+    xq = x.reshape(B, D, H * W // p, p * C)
+    out = _conv_pallas_raw_packed(xq, w, padding_mode, (D, H, W))
+    return out.reshape(B, D, H, W, w.shape[-1])
 
 
-def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype):
-    """dL/dw for the k3/s1 SAME conv: sum over voxels of im2col^T @ ct."""
+def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None):
+    """dL/dw for the k3/s1 SAME conv: the forward's banded/edge GEMM structure
+    transposed (contract over voxels), accumulated across the grid in f32."""
     B, D, H, W, C = x.shape
     Cout = ct.shape[-1]
-    p, U, Wp, M = _geometry(H, W, C)
-    O = -(-(2 * Wp + 2) // 8) * 8  # 8-aligned DMA window
+    p, Wp, dT = _geometry(D, H, W, C, Cout, p_override=p_override)
+    O = -(-(2 * Wp + 2) // 8) * 8
     zeros = padding_mode != "circular"
-    rows = H * W // p
-    n = rows // M
+    rows = H * Wp
     xq = x.reshape(B, D, rows, p * C)  # free view, no copy
     ctq = ct.astype(x.dtype).reshape(B, D, rows, p * Cout)
-    xp_spec, _, io_spec, scratch = _common_specs(p, M, O, U, C, Cout, x.dtype)
-    scratch = scratch + [pltpu.VMEM((9 * U * C, p * Cout), jnp.float32)]
 
     kernel = functools.partial(
-        _dw_kernel, M=M, O=O, D=D, Wp=Wp, p=p, C=C, rows=rows, n=n,
+        _dw_kernel, dT=dT, O=O, D=D, Wp=Wp, p=p, C=C, Cout=Cout, rows=rows,
         zeros=zeros)
-    dwq = pl.pallas_call(
+    dwq, dwlo, dwhi = pl.pallas_call(
         kernel,
-        grid=(B, D, n),
-        in_specs=[xp_spec, io_spec],
-        out_specs=pl.BlockSpec((9 * U * C, p * Cout), lambda b, d, m: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9 * U * C, p * Cout), jnp.float32),
-        scratch_shapes=scratch,
+        grid=(B, D // dT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, dT, rows, p * Cout), lambda b, dd: (b, dd, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, p * C, p * Cout), lambda b, dd: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, Cout), lambda b, dd: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, Cout), lambda b, dd: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, p * C, p * Cout), jnp.float32),
+            jax.ShapeDtypeStruct((9 * C, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((9 * C, Cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dT + 2, rows + 2 * O, p * C), x.dtype),
+            pltpu.SemaphoreType.DMA((dT + 2, 3)),
+            pltpu.VMEM((rows, 9 * C), x.dtype),
+            pltpu.VMEM((rows, 9 * C), x.dtype),
+            pltpu.VMEM((9, p * C, p * Cout), jnp.float32),
+            pltpu.VMEM((9 * C, Cout), jnp.float32),
+            pltpu.VMEM((9 * C, Cout), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * D * H * W * 9 * U * C * Cout,
-            bytes_accessed=4 * B * D * H * W * C * x.dtype.itemsize,
+            flops=2 * B * D * H * W * (9 * p + 6) * C * Cout,
+            bytes_accessed=2 * (dT + 2) * B * D * H * W * C
+            * x.dtype.itemsize // dT,
             transcendentals=0,
         ),
     )(xq, ctq)
-    return _unpack_dw(dwq, p, C, Cout, w_dtype)
+    return _unpack_dw(dwq, dwlo, dwhi, p, C, Cout, w_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3d_pallas_packed(xq, w, padding_mode: str, spatial):
+    """SAME 3x3x3 stride-1 conv on the PACKED carrier: xq (B, D, H*W/p, p*C),
+    ``w`` (3,3,3,Cin,Cout), returns (B, D, H*W/p, p*Cout). ``spatial`` is the
+    static (D, H, W). Same semantics as :func:`conv3d_pallas` without the
+    pack/unpack reshapes at the boundary."""
+    return _conv_pallas_raw_packed(xq, w.astype(xq.dtype), padding_mode, spatial)
+
+
+def _fwd_packed(xq, w, padding_mode, spatial):
+    return conv3d_pallas_packed(xq, w, padding_mode, spatial), (xq, w)
+
+
+def _bwd_packed(padding_mode, spatial, res, ct):
+    xq, w = res
+    D, H, W = spatial
+    C, Cout = w.shape[3], w.shape[4]
+    p = xq.shape[-1] // C
+    w_t = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    dxq = _conv_pallas_raw_packed(ct.astype(xq.dtype), w_t.astype(xq.dtype),
+                                  padding_mode, spatial)
+    B = xq.shape[0]
+    x = xq.reshape(B, D, H, W, C)
+    ctf = ct.reshape(B, D, H, W, Cout)
+    dw = _conv_pallas_dw(x, ctf, padding_mode, w.dtype, p_override=p)
+    return dxq.astype(xq.dtype), dw
+
+
+conv3d_pallas_packed.defvjp(_fwd_packed, _bwd_packed)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

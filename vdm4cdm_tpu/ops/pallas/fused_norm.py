@@ -362,3 +362,51 @@ def _vjp_bwd(groups, eps, act, dropout_p, interpret, res, ct):
 
 
 fused_norm_affine.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------------------------- packed-carrier entry
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_norm_affine_packed(xq, a, b, seed, C: int, groups: int, eps: float,
+                             act: Optional[str], dropout_p: float,
+                             interpret: bool = False):
+    """Same op as :func:`fused_norm_affine` on an ALREADY-PACKED carrier:
+    xq (B, R, p*C) with p = pack factor of C (R = total spatial / p, possibly
+    flattened over several leading dims by the caller). Models that keep
+    activations packed between ops skip the boundary reshapes entirely."""
+    y, _ = _fwd_packed(xq, a, b, seed, C, groups, eps, act, dropout_p,
+                       interpret)
+    return y
+
+
+def _fwd_packed(xq, a, b, seed, C, groups, eps, act, dropout_p, interpret):
+    p = (xq.shape[-1]) // C
+    out, stats = _run_fwd(
+        xq, _tile_affine(a, p), _tile_affine(b, p), seed,
+        groups=groups, eps=eps, act=act, dropout_p=dropout_p, C=C,
+        interpret=interpret)
+    return out, (xq, a, b, stats, seed)
+
+
+def _vjp_fwd_packed(xq, a, b, seed, C, groups, eps, act, dropout_p, interpret):
+    return _fwd_packed(xq, a, b, seed, C, groups, eps, act, dropout_p,
+                       interpret)
+
+
+def _vjp_bwd_packed(C, groups, eps, act, dropout_p, interpret, res, ct):
+    xq, a, b, stats, seed = res
+    p = xq.shape[-1] // C
+    dxq, sums = _run_bwd(
+        xq, ct.astype(xq.dtype),
+        _tile_affine(a, p), _tile_affine(b, p), stats, seed,
+        groups=groups, act=act, dropout_p=dropout_p, C=C,
+        interpret=interpret)
+    B = xq.shape[0]
+    folded = sums.reshape(B, 2, p, C).sum(axis=2)
+    db = folded[:, 0].astype(a.dtype)
+    da = folded[:, 1].astype(a.dtype)
+    return dxq, da, db, None
+
+
+fused_norm_affine_packed.defvjp(_vjp_fwd_packed, _vjp_bwd_packed)
