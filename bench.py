@@ -18,10 +18,14 @@ denominator". BASELINE.md sets the target at >=5x reference throughput.
 
 Env knobs:
   BENCH_SIZE (default 128), BENCH_BATCH (2), BENCH_STEPS (20), BENCH_DTYPE
-  (bfloat16|float32, default bfloat16 activations / f32 params+ELBO),
-  BENCH_REMAT (1), BENCH_MODE (train|sample — sample reports seconds per
-  sampled field at 250 ancestral steps, the reference's generation unit cost,
-  BASELINE.md "sample sec/field at 128^3").
+  (bfloat16|float32, default bfloat16 activations / f32 params+ELBOU),
+  BENCH_REMAT (default "blocks": no full remat, rematerialize only 4 of the
+  5 full-resolution L0 ResBlocks + bf16 Adam first moment — fits the 16 GB
+  chip with the packed-carrier memory savings and skips most of the remat
+  re-forward; falls back to full remat ("1") automatically if the blocks
+  config OOMs), BENCH_MODE (train|sample — sample reports seconds per
+  sampled field at 250 ancestral steps, the reference's generation unit
+  cost, BASELINE.md "sample sec/field at 128^3").
 """
 
 import json
@@ -52,20 +56,26 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 2))
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
-    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    remat_mode = os.environ.get("BENCH_REMAT", "blocks")
 
-    net = CUNet(
-        remat=remat,
-        shape=(1, size, size, size),
-        chs=(32, 64, 128, 256),
-        s_conditioning_channels=1,
-        v_conditioning_dims=(6,),
-        norm_groups=8,
-        mid_attn=False,
-        dropout_prob=0.1,
-        conv_padding_mode="circular",
-        compute_dtype=dtype,
-    )
+    def build_net(mode):
+        return CUNet(
+            remat=mode == "1",
+            remat_blocks=(
+                ("down_0_0", "down_0_1", "up_0_1", "up_0_2")
+                if mode == "blocks" else ()),
+            shape=(1, size, size, size),
+            chs=(32, 64, 128, 256),
+            s_conditioning_channels=1,
+            v_conditioning_dims=(6,),
+            norm_groups=8,
+            mid_attn=False,
+            dropout_prob=0.1,
+            conv_padding_mode="circular",
+            compute_dtype=dtype,
+        )
+
+    net = build_net(remat_mode)
     vdm = VDM(net, make_schedule("learned_linear", -13.3, 13.3))
     params = jax.jit(lambda r: vdm.init_params(r, batch_size=1))(jax.random.PRNGKey(0))
 
@@ -94,10 +104,6 @@ def main():
         }))
         return
 
-    optimizer = make_optimizer()
-    state = TrainState(0, params, optimizer.init(params))
-    step_fn = make_train_step(vdm, optimizer)
-
     rng = np.random.default_rng(0)
     batch_data = {
         "x": jnp.asarray(rng.standard_normal((batch, size, size, size, 1), np.float32)),
@@ -106,14 +112,29 @@ def main():
         ),
         "conditioning_values": [jnp.zeros((batch, 6), jnp.float32)],
     }
+    key = jax.random.PRNGKey(1)
+
+    def warmup(vdm, mode):
+        optimizer = make_optimizer(
+            moment_dtype=jnp.bfloat16 if mode == "blocks" else None)
+        state = TrainState(0, params, optimizer.init(params))
+        step_fn = make_train_step(vdm, optimizer)
+        for i in range(3):
+            state, metrics = step_fn(state, batch_data, jax.random.fold_in(key, i))
+        float(metrics["loss"])
+        return state, step_fn
 
     # warmup (compile + 2 steps). Timing protocol: a scalar host fetch is the
     # only reliable sync on this platform's tunnel (block_until_ready can
     # return early for donated-buffer chains) — fetch the final loss.
-    key = jax.random.PRNGKey(1)
-    for i in range(3):
-        state, metrics = step_fn(state, batch_data, jax.random.fold_in(key, i))
-    float(metrics["loss"])
+    try:
+        state, step_fn = warmup(vdm, remat_mode)
+    except Exception:
+        if remat_mode == "1":
+            raise
+        remat_mode = "1"  # blocks config OOMed: fall back to full remat
+        vdm = VDM(build_net("1"), make_schedule("learned_linear", -13.3, 13.3))
+        state, step_fn = warmup(vdm, "1")
 
     t0 = time.perf_counter()
     for i in range(n_steps):

@@ -40,6 +40,11 @@ class ModelConfig:
     sfm_sigma: float = 0.0
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     remat: bool = False  # rematerialize ResBlocks (needed for >=128^3 3D)
+    # Block-granular remat (overrides nothing; adds to `remat`): names of
+    # specific ResBlocks to rematerialize, e.g. ("down_0_0", "down_0_1",
+    # "up_0_1", "up_0_2") — the cheapest memory/recompute tradeoff when full
+    # no-remat misses HBM by < ~2 GB (docs/DESIGN.md §6)
+    remat_blocks: tuple = ()
 
 
 @dataclasses.dataclass
@@ -155,6 +160,7 @@ def build_model(cfg: ExperimentConfig, ctx=None):
         dropout_prob=m.dropout_prob,
         num_res_blocks=m.num_res_blocks,
         remat=m.remat,
+        remat_blocks=tuple(m.remat_blocks),
         # periodic boxes train full-size with circular padding; crops use zeros
         # (reference trainVDM3D_c_c...:125: circular iff cropsize==256)
         conv_padding_mode="circular" if d.cropsize == 256 or d.kind == "grf" else "zeros",
