@@ -99,6 +99,35 @@ class TestCircularFacefix:
         g_fix = jax.grad(loss)(w)
         np.testing.assert_allclose(g_fix, g_ref, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("shape,kshape", [
+        ((2, 8, 8, 3), (3, 3, 3, 4)),
+        ((1, 6, 6, 6, 2), (3, 3, 3, 2, 2)),
+        ((1, 8, 4, 2), (3, 3, 2, 3)),       # non-square, min sizes
+        ((1, 8, 2), (3, 2, 2)),             # 1D
+    ])
+    def test_stride2_matches_pad_oracle(self, shape, kshape):
+        """Stride-2 facefix (only the LOW face wraps) vs the wrap-pad oracle,
+        values and gradients — ROADMAP round-2 item 4."""
+        import vdm4cdm_tpu.ops.conv as convmod
+
+        x = _rand(3, shape)
+        w = _rand(4, kshape)
+
+        def loss(x, w):
+            return jnp.sum(conv_nd(x, w, stride=2, padding_mode="circular") ** 2)
+
+        convmod._CIRCULAR_IMPL = "pad"
+        try:
+            ref = conv_nd(x, w, stride=2, padding_mode="circular")
+            gx_ref, gw_ref = jax.grad(loss, argnums=(0, 1))(x, w)
+        finally:
+            convmod._CIRCULAR_IMPL = "facefix"
+        got = conv_nd(x, w, stride=2, padding_mode="circular")
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gx, gx_ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(gw, gw_ref, rtol=1e-4, atol=1e-4)
+
 
 class TestConvTapsBackend:
     """The 'taps' conv backend (per-tap GEMMs) must match the XLA conv exactly

@@ -8,7 +8,12 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from vdm4cdm_tpu.ops.conv import conv_nd
-from vdm4cdm_tpu.ops.pallas.conv3d import conv3d_pallas, supports
+from vdm4cdm_tpu.ops.pallas.conv3d import (
+    conv3d_pallas,
+    conv3d_pallas_zhalo,
+    supports,
+    supports_zhalo,
+)
 
 
 def _oracle(x, w, mode):
@@ -69,6 +74,55 @@ class TestGrad:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestZHalo:
+    """Pre-haloed (sharded `sp` path) variant: halo-pad the full volume on
+    the z dim, run the valid-in-z kernel, compare against the periodic/zeros
+    SAME conv on the full volume — the exact contract of the halo-exchange
+    composition in ops/conv.py."""
+
+    @pytest.mark.parametrize("mode", ["circular", "zeros"])
+    @pytest.mark.parametrize("dims", [(6, 8, 8, 16, 16), (4, 8, 8, 32, 32)])
+    def test_matches_full_volume_conv(self, mode, dims):
+        D, H, W, cin, cout = dims
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((2, D, H, W, cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        zpad = "wrap" if mode == "circular" else "constant"
+        xh = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)), mode=zpad)
+        assert supports_zhalo(xh.shape, w.shape, itemsize=4)
+        with pltpu.force_tpu_interpret_mode():
+            got = conv3d_pallas_zhalo(xh, w, mode)
+        want = _oracle(x, w, mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("mode", ["circular", "zeros"])
+    def test_grads_match_oracle(self, mode):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 16)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 16)) * 0.1,
+                        jnp.float32)
+        ct = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 16)), jnp.float32)
+        zpad = "wrap" if mode == "circular" else "constant"
+
+        def loss_p(x, w):
+            xh = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)),
+                         mode=zpad)
+            return jnp.sum(conv3d_pallas_zhalo(xh, w, mode) * ct)
+
+        def loss_o(x, w):
+            return jnp.sum(_oracle(x, w, mode) * ct)
+
+        with pltpu.force_tpu_interpret_mode():
+            gx_p, gw_p = jax.grad(loss_p, argnums=(0, 1))(x, w)
+        gx_o, gw_o = jax.grad(loss_o, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_o),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_o),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestSupports:
     def test_rejects_out_of_scope(self):
         assert not supports((2, 8, 8, 8, 3), (3, 3, 3, 3, 32), (1, 1, 1))   # cin<8
@@ -77,3 +131,32 @@ class TestSupports:
         assert not supports((2, 8, 8, 4, 32), (3, 3, 3, 32, 32), (1, 1, 1))  # W<8
         assert supports((2, 8, 8, 8, 16), (3, 3, 3, 16, 16), (1, 1, 1))
         assert supports((2, 2, 8, 8, 32), (3, 3, 3, 32, 32), (1, 1, 1))  # D=2 ok
+        # cout=12 packs forward but its BACKWARD (dx: 12 -> 16) has no
+        # 128-lane pack factor — forward stays supported; dx takes the one-
+        # XLA-conv fallback inside _bwd (_transposed_ok gate)
+        assert supports((2, 8, 8, 8, 16), (3, 3, 3, 16, 12), (1, 1, 1))
+        assert supports_zhalo((2, 10, 8, 8, 16), (3, 3, 3, 16, 12))
+
+    @pytest.mark.parametrize("mode", ["circular", "zeros"])
+    def test_grad_with_xla_dx_fallback(self, mode):
+        # 16 -> 12: dx's transposed geometry (12-channel input) has no pack
+        # factor, so _bwd routes dx through _conv_xla_fallback. Both grads
+        # must still match the oracle.
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 16)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 12)) * 0.1,
+                        jnp.float32)
+
+        def loss_pallas(x, w):
+            return jnp.sum(jnp.sin(conv3d_pallas(x, w, mode)))
+
+        def loss_oracle(x, w):
+            return jnp.sum(jnp.sin(_oracle(x, w, mode)))
+
+        with pltpu.force_tpu_interpret_mode():
+            gx, gw = jax.grad(loss_pallas, argnums=(0, 1))(x, w)
+        ex, ew = jax.grad(loss_oracle, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(ex),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(ew),
+                                   rtol=1e-4, atol=1e-4)

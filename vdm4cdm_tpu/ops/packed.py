@@ -84,8 +84,14 @@ def conv_packable(spatial, cin: int, cout: int, p: int, dtype) -> bool:
         return False
     if cin < 8 or cout < 8 or h < 2 or w < 8:
         return False
-    geo = _c3._geometry(d, h, w, cin, cout, p_override=p)
-    return geo[2] is not None
+    itemsize = jnp.dtype(dtype).itemsize
+    geo = _c3._geometry(d, h, w, cin, cout, itemsize=itemsize, p_override=p)
+    if geo[2] is None:
+        return False
+    # the packed custom_vjp's dx keeps the carrier's pack factor with io
+    # swapped — that transposed geometry must exist too
+    geo2 = _c3._geometry(d, h, w, cout, cin, itemsize=itemsize, p_override=p)
+    return geo2[2] is not None
 
 
 def norm_packable(spatial, c: int, p: int, rows_batchdim: int, dtype) -> bool:

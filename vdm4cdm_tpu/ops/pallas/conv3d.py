@@ -22,8 +22,15 @@ Design v2 (TPU-first, no reference analog — the reference delegates to cuDNN):
     planes in HBM. Window row indices wrap mod the plane (= the circular y
     boundary); the plane index wraps mod D (= the circular z boundary).
     Zeros mode instead zeroes the O-overlap rows and skips the wrapped
-    boundary planes' GEMMs. Sharing the windows across dT output planes cuts
-    HBM reads from 3x the volume to (dT+2)/dT x;
+    boundary planes' GEMMs;
+  * v3 (round 3): the windows live in a RING of 2*dT+2 slots (slot of plane
+    g is (g+1) mod R). Consecutive blocks share two boundary planes — those
+    slots are simply kept, so each grid step DMAs only the dT NEW planes, and
+    it issues them for block dd+1 BEFORE computing block dd (the start is
+    waited at the top of the next step). HBM reads drop from (dT+2)/dT x the
+    volume (v2) to ~1.0x, and the window DMAs overlap the GEMMs instead of
+    serializing with them (measured ~40% of v2 kernel runtime). Only the
+    first block of each batch element pays a cold synchronous fill;
   * the 27 taps factor into 9 (dz, dy) pairs x 3 in-row w-taps. For each
     (dz, dy), ONE banded GEMM  A @ Wq  with A = (rows, p*C) of the window at
     static row offset (dy-1)*W/p and Wq (p*C, p*Cout) holding w[dz,dy,kx] on
@@ -74,7 +81,7 @@ def _pack_factor(W: int, C: int):
 
 def _tile_bytes(dT: int, rows: int, O: int, p: int, C: int, Cout: int,
                 itemsize: int):
-    slots = (dT + 2) * (rows + 2 * O) * p * C * itemsize
+    slots = (2 * dT + 2) * (rows + 2 * O) * p * C * itemsize
     acc = rows * p * Cout * 4
     edges = 2 * rows * 9 * C * itemsize
     out_blk = 2 * dT * rows * p * Cout * itemsize
@@ -109,8 +116,11 @@ def _geometry(D: int, H: int, W: int, C: int, Cout: int, itemsize: int = 2,
     return p, Wp, dT
 
 
-def supports(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...], stride) -> bool:
-    """Can the Pallas path handle this conv? (3D, k=3, s=1, packable chans.)"""
+def supports(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...], stride,
+             itemsize: int = 2) -> bool:
+    """Can the Pallas path handle this conv? (3D, k=3, s=1, packable chans.)
+    ``itemsize``: activation element size in bytes — tile sizing (dT) depends
+    on it, so callers must pass the real dtype's itemsize."""
     if len(x_shape) != 5 or len(w_shape) != 5:
         return False
     if tuple(w_shape[:3]) != (3, 3, 3):
@@ -123,10 +133,38 @@ def supports(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...], stride) -> bool
         return False
     if cin < 8 or cout < 8 or H < 2 or W < 8:
         return False
-    p, Wp, dT = _geometry(D, H, W, cin, cout)
+    p, Wp, dT = _geometry(D, H, W, cin, cout, itemsize=itemsize)
     if dT is None or p * cout > 512:
         return False
+    # forward geometry only: the custom_vjp's dx runs the SAME kernel with
+    # io-transposed weights when the transposed geometry (cout -> cin) packs,
+    # and otherwise falls back to one XLA conv (_transposed_ok / _bwd) — a
+    # 16->24 conv stays on the fast forward even though 24 has no pack factor
     return True
+
+
+def _transposed_ok(D, H, W, cin, cout, itemsize, p_override=None) -> bool:
+    """Does the dx kernel's geometry (cout -> cin, io-transposed) pack?"""
+    p, _, dT = _geometry(D, H, W, cout, cin, itemsize=itemsize,
+                         p_override=p_override)
+    return dT is not None and p * cin <= 512
+
+
+def _conv_xla_fallback(x, w, padding_mode: str, z_same: bool = True):
+    """dx fallback when the transposed banded geometry doesn't pack: one XLA
+    conv with the kernel's exact semantics — SAME in-plane (circular wraps,
+    zeros pads), SAME or VALID (pre-haloed) in z."""
+    zp = (1, 1) if z_same else (0, 0)
+    if padding_mode == "circular":
+        x = jnp.pad(x, ((0, 0), zp, (1, 1), (1, 1), (0, 0)), mode="wrap")
+        pads = [(0, 0)] * 3
+    else:
+        pads = [zp, (1, 1), (1, 1)]
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1, 1), pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _pack_weights(w, p: int, dtype):
@@ -166,41 +204,94 @@ def _unpack_dw(dwq, dwlo, dwhi, p: int, C: int, Cout: int, w_dtype):
     return jnp.stack(taps, axis=2).astype(w_dtype)  # (3, 3, 3, C, Cout)
 
 
-def _dma_windows(xq_ref, slots_ref, sems, b, dd, *, dT, O, D, rows, zeros):
-    """Fill the dT+2 VMEM plane windows (rows + 2O each) straight from the
-    UNPADDED packed planes in HBM. Window pz holds plane (dd*dT + pz - 1)
-    mod D; its three segments (O | rows | O) wrap row indices mod the plane,
-    which IS the circular y boundary. Zeros mode zeroes every O-overlap (the
-    overlap rows ARE the wrapped y rows for full-plane windows)."""
-    copies = []
-    for pz in range(dT + 2):
-        dplane = jax.lax.rem(dd * dT + pz - 1 + D, D)
-        for s, (src, dst, size) in enumerate((
-            (rows - O, 0, O),
-            (0, O, rows),
-            (0, O + rows, O),
-        )):
-            cp = pltpu.make_async_copy(
-                xq_ref.at[b, dplane, pl.ds(pl.multiple_of(src, 8), size), :],
-                slots_ref.at[pz, pl.ds(dst, size), :],
-                sems.at[pz, s],
-            )
-            cp.start()
-            copies.append(cp)
-    for cp in copies:
-        cp.wait()
-    if zeros:
+def _plane_copies(xq_ref, slots_ref, sems, b, dplane, slot, *, O, rows):
+    """Copy descriptors for input plane ``dplane`` of batch b into ring slot
+    ``slot``: three segments (O | rows | O) whose row indices wrap mod the
+    plane — the wrap segments ARE the circular y boundary. Start/wait are the
+    caller's."""
+    out = []
+    for s, (src, dst, size) in enumerate((
+        (rows - O, 0, O),
+        (0, O, rows),
+        (0, O + rows, O),
+    )):
+        out.append(pltpu.make_async_copy(
+            xq_ref.at[b, dplane, pl.ds(pl.multiple_of(src, 8), size), :],
+            slots_ref.at[slot, pl.ds(dst, size), :],
+            sems.at[slot, s],
+        ))
+    return out
+
+
+def _zero_overlap(slots_ref, slot, O, rows):
+    """Zeros-padding: the O-overlap rows are exactly the wrapped y rows."""
+    slots_ref[slot, 0:O, :] = jnp.zeros_like(slots_ref[slot, 0:O, :])
+    slots_ref[slot, O + rows:, :] = jnp.zeros_like(slots_ref[slot, O + rows:, :])
+
+
+def _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd, *, dT, O, D, rows,
+                  zeros, zmode="wrap"):
+    """Ring-buffered window management for grid step (b, dd); returns nothing,
+    leaves block dd's dT+2 windows ready in slots (dd*dT + pz) mod R.
+
+    Block dd consumes logical planes [dd*dT - 1, dd*dT + dT]; slot of plane g
+    is (g + 1) mod R with R = 2*dT + 2, so consecutive blocks KEEP their two
+    shared boundary planes and only the dT new planes move. The new planes
+    for block dd+1 are issued here, BEFORE block dd's GEMMs run, and waited
+    at the top of step dd+1 — DMA rides under compute. Slot ranges never
+    collide: block dd occupies dT+2 consecutive slots mod R, the prefetch the
+    next dT — together exactly R. The first block of each batch element
+    (dd == 0) performs a cold synchronous fill of all dT+2 windows.
+
+    zmode: "wrap" — logical plane g reads input plane g mod D (periodic z, or
+    zeros z via _dz_pred skipping); "halo" — the input carries D+2 planes
+    (pre-exchanged z halos, parallel/halo.py), logical plane g reads input
+    plane g+1 and no plane ever wraps or is skipped."""
+    R = 2 * dT + 2
+
+    def copies_for(block, pz):
+        g = block * dT + pz - 1
+        dplane = (g + 1) if zmode == "halo" else jax.lax.rem(g + D, D)
+        slot = jax.lax.rem(block * dT + pz, R)
+        return _plane_copies(xq_ref, slots_ref, sems, b, dplane, slot,
+                             O=O, rows=rows)
+
+    # prefetch the NEXT block's dT new planes first (targets are disjoint
+    # from everything read or awaited this step)
+    @pl.when(dd < n_dd - 1)
+    def _prefetch():
+        for pz in range(2, dT + 2):
+            for cp in copies_for(dd + 1, pz):
+                cp.start()
+
+    @pl.when(dd == 0)
+    def _cold():
         for pz in range(dT + 2):
-            slots_ref[pz, 0:O, :] = jnp.zeros_like(slots_ref[pz, 0:O, :])
-            slots_ref[pz, O + rows:, :] = jnp.zeros_like(
-                slots_ref[pz, O + rows:, :])
+            for cp in copies_for(dd, pz):
+                cp.start()
+        for pz in range(dT + 2):
+            for cp in copies_for(dd, pz):
+                cp.wait()
+        if zeros:
+            for pz in range(dT + 2):
+                _zero_overlap(slots_ref, jax.lax.rem(dd * dT + pz, R), O, rows)
+
+    @pl.when(dd > 0)
+    def _steady():
+        for pz in range(2, dT + 2):
+            for cp in copies_for(dd, pz):
+                cp.wait()
+        if zeros:
+            for pz in range(2, dT + 2):
+                _zero_overlap(slots_ref, jax.lax.rem(dd * dT + pz, R), O, rows)
 
 
-def _dz_pred(dd, di, dz, dT, n_dd, zeros):
+def _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode="wrap"):
     """Skip predicate for zeros mode at the z boundary; None = never skip.
     Static in di/dz: only the first/last plane of the first/last block can
-    read a wrapped plane."""
-    if not zeros or dz == 1:
+    read a wrapped plane. Halo zmode never skips — the exchanged halo planes
+    carry the true z boundary (zeros arrive as ppermute's zero fill)."""
+    if zmode == "halo" or not zeros or dz == 1:
         return None
     if dz == 0 and di == 0:
         return dd != 0
@@ -210,40 +301,41 @@ def _dz_pred(dd, di, dz, dT, n_dd, zeros):
 
 
 def _fill_edges(slots_ref, elo_ref, ehi_ref, dd, di, *,
-                dT, n_dd, O, Wp, p, C, rows, zeros):
+                dT, n_dd, O, Wp, p, C, rows, zeros, zmode="wrap"):
     """Build the batched (rows, 9C) cross-row edge operands for output plane
     di: for each (dz, dy), slot j=0's w-1 voxel (previous row, last lane
     block) and slot j=p-1's w+1 voxel (next row, first block), with the
     helical w-wrap fixed by a masked select +-Wp rows away (zeroed for zeros
     padding). Zeros-masked boundary planes write zero columns so the batched
     edge GEMMs stay unconditional."""
+    R = 2 * dT + 2
     lanes_last = slice((p - 1) * C, p * C)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 0) % Wp
     for dz in range(3):
-        pred = _dz_pred(dd, di, dz, dT, n_dd, zeros)
+        pred = _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode)
 
         def fill(_dz=dz):
-            pz = di + _dz
+            sl = jax.lax.rem(dd * dT + di + _dz, R)
             for dyi in range(3):
                 base = O + (dyi - 1) * Wp
                 i = _dz * 3 + dyi
-                lo = slots_ref[pz, base - 1:base + rows - 1, lanes_last]
+                lo = slots_ref[sl, base - 1:base + rows - 1, lanes_last]
                 if zeros:
                     lo = jnp.where(wcol == 0, 0, lo)
                 else:
                     lo = jnp.where(
                         wcol == 0,
-                        slots_ref[pz, base - 1 + Wp:base + rows - 1 + Wp,
+                        slots_ref[sl, base - 1 + Wp:base + rows - 1 + Wp,
                                   lanes_last],
                         lo)
                 elo_ref[:, i * C:(i + 1) * C] = lo
-                hi = slots_ref[pz, base + 1:base + rows + 1, 0:C]
+                hi = slots_ref[sl, base + 1:base + rows + 1, 0:C]
                 if zeros:
                     hi = jnp.where(wcol == Wp - 1, 0, hi)
                 else:
                     hi = jnp.where(
                         wcol == Wp - 1,
-                        slots_ref[pz, base + 1 - Wp:base + rows + 1 - Wp, 0:C],
+                        slots_ref[sl, base + 1 - Wp:base + rows + 1 - Wp, 0:C],
                         hi)
                 ehi_ref[:, i * C:(i + 1) * C] = hi
 
@@ -261,15 +353,16 @@ def _fill_edges(slots_ref, elo_ref, ehi_ref, dd, di, *,
 
 def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
                 slots_ref, sems, acc_ref, elo_ref, ehi_ref, *,
-                dT, O, D, Wp, p, C, Cout, rows, zeros):
+                dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap"):
     b, dd = pl.program_id(0), pl.program_id(1)
     n_dd = pl.num_programs(1)
-    _dma_windows(xq_ref, slots_ref, sems, b, dd,
-                 dT=dT, O=O, D=D, rows=rows, zeros=zeros)
+    R = 2 * dT + 2
+    _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd,
+                  dT=dT, O=O, D=D, rows=rows, zeros=zeros, zmode=zmode)
     for di in range(dT):
         _fill_edges(slots_ref, elo_ref, ehi_ref, dd, di,
                     dT=dT, n_dd=n_dd, O=O, Wp=Wp, p=p, C=C, rows=rows,
-                    zeros=zeros)
+                    zeros=zeros, zmode=zmode)
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
         acc_ref[:, 0:Cout] += jax.lax.dot_general(
             elo_ref[:, :], wlo_ref[:, :],
@@ -280,13 +373,14 @@ def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         for dz in range(3):
-            pred = _dz_pred(dd, di, dz, dT, n_dd, zeros)
+            pred = _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode)
 
             def gemms(_dz=dz):
+                sl = jax.lax.rem(dd * dT + di + _dz, R)
                 for dyi in range(3):
                     base = O + (dyi - 1) * Wp
                     acc_ref[:, :] += jax.lax.dot_general(
-                        slots_ref[di + _dz, base:base + rows, :],
+                        slots_ref[sl, base:base + rows, :],
                         wq_ref[_dz * 3 + dyi],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -301,9 +395,10 @@ def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
 def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref,
                slots_ref, sems, elo_ref, ehi_ref,
                accq_ref, acclo_ref, acchi_ref, *,
-               dT, O, D, Wp, p, C, Cout, rows, zeros):
+               dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap"):
     b, dd = pl.program_id(0), pl.program_id(1)
     n_dd = pl.num_programs(1)
+    R = 2 * dT + 2
 
     @pl.when((b == 0) & (dd == 0))
     def _init():
@@ -311,21 +406,22 @@ def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref,
         acclo_ref[:, :] = jnp.zeros_like(acclo_ref)
         acchi_ref[:, :] = jnp.zeros_like(acchi_ref)
 
-    _dma_windows(xq_ref, slots_ref, sems, b, dd,
-                 dT=dT, O=O, D=D, rows=rows, zeros=zeros)
+    _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd,
+                  dT=dT, O=O, D=D, rows=rows, zeros=zeros, zmode=zmode)
     for di in range(dT):
         _fill_edges(slots_ref, elo_ref, ehi_ref, dd, di,
                     dT=dT, n_dd=n_dd, O=O, Wp=Wp, p=p, C=C, rows=rows,
-                    zeros=zeros)
+                    zeros=zeros, zmode=zmode)
         ct = ct_ref[0, di]
         for dz in range(3):
-            pred = _dz_pred(dd, di, dz, dT, n_dd, zeros)
+            pred = _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode)
 
             def gemms(_dz=dz):
+                sl = jax.lax.rem(dd * dT + di + _dz, R)
                 for dyi in range(3):
                     base = O + (dyi - 1) * Wp
                     accq_ref[_dz * 3 + dyi] += jax.lax.dot_general(
-                        slots_ref[di + _dz, base:base + rows, :], ct,
+                        slots_ref[sl, base:base + rows, :], ct,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
 
@@ -351,18 +447,21 @@ def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref,
         dwhi_ref[:, :] = acchi_ref[:, :]
 
 
-def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial):
-    """Packed-in/packed-out core: xq (B, D, H*W/p, p*C) channel-packed rows.
-    Returns (B, D, H*W/p, p*Cout). The packed form is the kernel's native
-    layout — models that keep activations packed between ops skip the
-    (physical, on padded-lane layouts) reshape copies entirely. The pack
-    factor comes from the carrier (xq's lane count / Cin)."""
+def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial, zmode="wrap"):
+    """Packed-in/packed-out core: xq (B, D_in, H*W/p, p*C) channel-packed rows.
+    Returns (B, D, H*W/p, p*Cout) with D = spatial[0] the OUTPUT plane count
+    (zmode "wrap": D_in == D; zmode "halo": D_in == D + 2 pre-haloed planes).
+    The packed form is the kernel's native layout — models that keep
+    activations packed between ops skip the (physical, on padded-lane
+    layouts) reshape copies entirely. The pack factor comes from the carrier
+    (xq's lane count / Cin)."""
     D, H, W = spatial
     B = xq.shape[0]
     C = w.shape[3]
     Cout = w.shape[-1]
     p_in = xq.shape[-1] // C
-    p, Wp, dT = _geometry(D, H, W, C, Cout, p_override=p_in)
+    p, Wp, dT = _geometry(D, H, W, C, Cout, itemsize=xq.dtype.itemsize,
+                          p_override=p_in)
     O = -(-(2 * Wp + 2) // 8) * 8  # 8-aligned DMA window
     zeros = padding_mode != "circular"
     rows = H * Wp
@@ -370,7 +469,7 @@ def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial):
 
     kernel = functools.partial(
         _fwd_kernel, dT=dT, O=O, D=D, Wp=Wp, p=p, C=C, Cout=Cout, rows=rows,
-        zeros=zeros)
+        zeros=zeros, zmode=zmode)
     out = pl.pallas_call(
         kernel,
         grid=(B, D // dT),
@@ -388,8 +487,8 @@ def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D, rows, p * Cout), xq.dtype),
         scratch_shapes=[
-            pltpu.VMEM((dT + 2, rows + 2 * O, p * C), xq.dtype),
-            pltpu.SemaphoreType.DMA((dT + 2, 3)),
+            pltpu.VMEM((2 * dT + 2, rows + 2 * O, p * C), xq.dtype),
+            pltpu.SemaphoreType.DMA((2 * dT + 2, 3)),
             pltpu.VMEM((rows, p * Cout), jnp.float32),
             pltpu.VMEM((rows, 9 * C), xq.dtype),
             pltpu.VMEM((rows, 9 * C), xq.dtype),
@@ -398,8 +497,7 @@ def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial):
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * H * W * (9 * p + 6) * C * Cout,
-            bytes_accessed=(dT + 2) * B * D * H * W * C * xq.dtype.itemsize
-            // dT + B * D * H * W * Cout * xq.dtype.itemsize,
+            bytes_accessed=B * D * H * W * (C + Cout) * xq.dtype.itemsize,
             transcendentals=0,
         ),
     )(xq, wq, wlo, whi)
@@ -414,21 +512,25 @@ def _conv_pallas_raw(x, w, padding_mode: str):
     return out.reshape(B, D, H, W, w.shape[-1])
 
 
-def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None):
+def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None,
+                    zmode="wrap"):
     """dL/dw for the k3/s1 SAME conv: the forward's banded/edge GEMM structure
-    transposed (contract over voxels), accumulated across the grid in f32."""
-    B, D, H, W, C = x.shape
+    transposed (contract over voxels), accumulated across the grid in f32.
+    zmode "halo": x carries D+2 pre-haloed planes for ct's D output planes."""
+    B, D_in, H, W, C = x.shape
+    D = D_in - 2 if zmode == "halo" else D_in
     Cout = ct.shape[-1]
-    p, Wp, dT = _geometry(D, H, W, C, Cout, p_override=p_override)
+    p, Wp, dT = _geometry(D, H, W, C, Cout, itemsize=x.dtype.itemsize,
+                          p_override=p_override)
     O = -(-(2 * Wp + 2) // 8) * 8
     zeros = padding_mode != "circular"
     rows = H * Wp
-    xq = x.reshape(B, D, rows, p * C)  # free view, no copy
+    xq = x.reshape(B, D_in, rows, p * C)  # free view, no copy
     ctq = ct.astype(x.dtype).reshape(B, D, rows, p * Cout)
 
     kernel = functools.partial(
         _dw_kernel, dT=dT, O=O, D=D, Wp=Wp, p=p, C=C, Cout=Cout, rows=rows,
-        zeros=zeros)
+        zeros=zeros, zmode=zmode)
     dwq, dwlo, dwhi = pl.pallas_call(
         kernel,
         grid=(B, D // dT),
@@ -451,8 +553,8 @@ def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None):
             jax.ShapeDtypeStruct((9 * C, Cout), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((dT + 2, rows + 2 * O, p * C), x.dtype),
-            pltpu.SemaphoreType.DMA((dT + 2, 3)),
+            pltpu.VMEM((2 * dT + 2, rows + 2 * O, p * C), x.dtype),
+            pltpu.SemaphoreType.DMA((2 * dT + 2, 3)),
             pltpu.VMEM((rows, 9 * C), x.dtype),
             pltpu.VMEM((rows, 9 * C), x.dtype),
             pltpu.VMEM((9, p * C, p * Cout), jnp.float32),
@@ -463,8 +565,7 @@ def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None):
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * H * W * (9 * p + 6) * C * Cout,
-            bytes_accessed=2 * (dT + 2) * B * D * H * W * C
-            * x.dtype.itemsize // dT,
+            bytes_accessed=B * D * H * W * (C + Cout) * x.dtype.itemsize,
             transcendentals=0,
         ),
     )(xq, ctq)
@@ -489,12 +590,17 @@ def _bwd_packed(padding_mode, spatial, res, ct):
     D, H, W = spatial
     C, Cout = w.shape[3], w.shape[4]
     p = xq.shape[-1] // C
-    w_t = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
-    dxq = _conv_pallas_raw_packed(ct.astype(xq.dtype), w_t.astype(xq.dtype),
-                                  padding_mode, spatial)
     B = xq.shape[0]
-    x = xq.reshape(B, D, H, W, C)
+    w_t = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
     ctf = ct.reshape(B, D, H, W, Cout)
+    if _transposed_ok(D, H, W, C, Cout, xq.dtype.itemsize, p_override=p):
+        dxq = _conv_pallas_raw_packed(ct.astype(xq.dtype),
+                                      w_t.astype(xq.dtype),
+                                      padding_mode, spatial)
+    else:
+        dx = _conv_xla_fallback(ctf.astype(xq.dtype), w_t, padding_mode)
+        dxq = dx.reshape(B, D, H * W // p, p * C)
+    x = xq.reshape(B, D, H, W, C)
     dw = _conv_pallas_dw(x, ctf, padding_mode, w.dtype, p_override=p)
     return dxq.astype(xq.dtype), dw
 
@@ -517,11 +623,86 @@ def _fwd(x, w, padding_mode):
 def _bwd(padding_mode, res, ct):
     x, w = res
     # dx: transpose of a SAME k3/s1 conv = conv of ct with the spatially
-    # flipped, in/out-transposed kernel, same padding family.
+    # flipped, in/out-transposed kernel, same padding family. Falls back to
+    # one XLA conv when the transposed geometry doesn't pack (supports() only
+    # requires the forward geometry).
+    _, D, H, W, C = x.shape
+    Cout = w.shape[-1]
     w_t = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
-    dx = _conv_pallas_raw(ct.astype(x.dtype), w_t.astype(x.dtype), padding_mode)
+    if _transposed_ok(D, H, W, C, Cout, x.dtype.itemsize):
+        dx = _conv_pallas_raw(ct.astype(x.dtype), w_t.astype(x.dtype),
+                              padding_mode)
+    else:
+        dx = _conv_xla_fallback(ct.astype(x.dtype), w_t, padding_mode)
     dw = _conv_pallas_dw(x, ct, padding_mode, w.dtype)
     return dx.astype(x.dtype), dw
 
 
 conv3d_pallas.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------- pre-haloed (sharded) form
+
+
+def supports_zhalo(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...],
+                   itemsize: int = 2) -> bool:
+    """Applicability of :func:`conv3d_pallas_zhalo`: x_shape carries D+2
+    pre-haloed planes; geometry is evaluated on the D output planes."""
+    if len(x_shape) != 5 or len(w_shape) != 5:
+        return False
+    if tuple(w_shape[:3]) != (3, 3, 3):
+        return False
+    B, Dh, H, W, cin = x_shape
+    D = Dh - 2
+    if D < 1:
+        return False
+    return supports((B, D, H, W, cin), w_shape, (1, 1, 1), itemsize=itemsize)
+
+
+def _zhalo_raw(x, w, padding_mode: str):
+    """(B, N, H, W, C) pre-haloed -> (B, N-2, H, W, Cout), z taken entirely
+    from the input planes (valid-in-z), y/w boundaries per padding_mode."""
+    B, Dh, H, W, C = x.shape
+    p = _pack_factor(W, C)
+    xq = x.reshape(B, Dh, H * W // p, p * C)
+    out = _conv_pallas_raw_packed(xq, w.astype(x.dtype), padding_mode,
+                                  (Dh - 2, H, W), zmode="halo")
+    return out.reshape(B, Dh - 2, H, W, w.shape[-1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3d_pallas_zhalo(x, w, padding_mode: str = "circular"):
+    """SAME-in-plane 3x3x3 conv on a PRE-HALOED volume: x (B, D+2, H, W, Cin)
+    whose first/last plane are the z halos (from parallel/halo.halo_exchange
+    over the ``sp`` mesh axis — periodic neighbors or ppermute zero fill), so
+    the kernel never wraps the plane index. Returns (B, D, H, W, Cout).
+    This is the Pallas fast path for spatially sharded (`sp`) convolutions —
+    the capability the reference lacks entirely (it pins devices=1,
+    trainVDM3D_c_c...:41). y/w boundaries follow ``padding_mode`` locally
+    (in-plane wraps are shard-local). Check :func:`supports_zhalo` first."""
+    return _zhalo_raw(x, w, padding_mode)
+
+
+def _fwd_zh(x, w, padding_mode):
+    return conv3d_pallas_zhalo(x, w, padding_mode), (x, w)
+
+
+def _bwd_zh(padding_mode, res, ct):
+    x, w = res
+    # dx w.r.t. the HALOED input (D+2 planes): the transpose of valid-in-z is
+    # full-in-z — pad ct by 2 zero planes each side and run the same
+    # valid-in-z kernel with flipped, io-transposed weights (in-plane
+    # transpose keeps the padding family, as for conv3d_pallas).
+    w_t = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    ct_pad = jnp.pad(ct.astype(x.dtype),
+                     ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)))
+    _, D, H, W, Cout = ct.shape
+    if _transposed_ok(D + 2, H, W, x.shape[-1], Cout, x.dtype.itemsize):
+        dx = _zhalo_raw(ct_pad, w_t.astype(x.dtype), padding_mode)
+    else:
+        dx = _conv_xla_fallback(ct_pad, w_t, padding_mode, z_same=False)
+    dw = _conv_pallas_dw(x, ct, padding_mode, w.dtype, zmode="halo")
+    return dx.astype(x.dtype), dw
+
+
+conv3d_pallas_zhalo.defvjp(_fwd_zh, _bwd_zh)
