@@ -36,26 +36,48 @@ import jax.numpy as jnp
 
 from ..parallel.halo import NO_SHARD, ShardCtx
 
-# Pallas fused-norm gate: default ON for unsharded TPU (VDM4CDM_PALLAS_GN=0
-# to force the XLA composition everywhere).
-_PALLAS_GN = os.environ.get("VDM4CDM_PALLAS_GN", "1") == "1"
+# Pallas fused-norm gate: "1" (default) = ON for TPU (unsharded monolith +
+# sharded split-kernel CP path), "0" = XLA composition everywhere, "force" =
+# ON even off-TPU (interpret mode — used by the CPU-mesh sharded tests).
+_PALLAS_GN_ENV = os.environ.get("VDM4CDM_PALLAS_GN", "1")
+_PALLAS_GN = _PALLAS_GN_ENV in ("1", "force")
 
 
 def _seed_from_key(key: jax.Array) -> jnp.ndarray:
-    """(1,) int32 seed for the in-kernel TPU PRNG, from a JAX PRNG key."""
+    """(1,) int32 seed for the in-kernel TPU PRNG, from a JAX PRNG key.
+
+    Both key halves are mixed through a murmur-style avalanche so distinct
+    fold_in chains land on well-separated 32-bit site seeds (the kernel keeps
+    its per-tile counter in a separate seed word, fused_norm._dropout_mask)."""
     try:
         data = jax.random.key_data(key)
     except TypeError:
         data = key
     data = jnp.asarray(data).ravel().astype(jnp.uint32)
-    mixed = data[0] if data.shape[0] == 1 else data[0] ^ data[1]
-    return jax.lax.bitcast_convert_type(mixed.reshape(1), jnp.int32)
+    h = data[0] * jnp.uint32(0x9E3779B9)
+    if data.shape[0] > 1:
+        h = h ^ (data[1] * jnp.uint32(0x85EBCA6B))
+    h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    return jax.lax.bitcast_convert_type(h.reshape(1), jnp.int32)
 
 
 def _use_fused(x: jnp.ndarray, ctx: ShardCtx) -> bool:
     if not _PALLAS_GN or ctx.axis is not None:
         return False
     if jax.default_backend() != "tpu":
+        return False
+    from .pallas.fused_norm import supports
+
+    return supports(x.shape, x.dtype)
+
+
+def _use_fused_cp(x: jnp.ndarray, ctx: ShardCtx) -> bool:
+    """Sharded (`sp`) fused path: split stats/apply kernels with the psum in
+    between (pallas/fused_norm.py CP section)."""
+    if not _PALLAS_GN or ctx.axis is None:
+        return False
+    if jax.default_backend() != "tpu" and _PALLAS_GN_ENV != "force":
         return False
     from .pallas.fused_norm import supports
 
@@ -109,6 +131,19 @@ def norm_affine_act(
         return fused_norm_affine(
             x, a.astype(jnp.float32), b.astype(jnp.float32), seed,
             groups, eps, act, float(dropout_p))
+
+    if _use_fused_cp(x, ctx):
+        from .pallas.fused_norm import fused_norm_affine_cp
+
+        seed = (
+            _seed_from_key(dropout_rng)
+            if dropout_p > 0.0
+            else jnp.zeros((1,), jnp.int32)
+        )
+        return fused_norm_affine_cp(
+            x, a.astype(jnp.float32), b.astype(jnp.float32), seed,
+            groups, eps, act, float(dropout_p), ctx.axis,
+            jax.default_backend() != "tpu")
 
     # ---- XLA composition (oracle; sharded and CPU path) ---------------------
     # Moments accumulate in f32; the activation tensor itself is NEVER upcast
@@ -199,18 +234,25 @@ def packed_norm_affine_act(
     if dropout_p > 0.0 and dropout_rng is None:
         raise ValueError("dropout_p > 0 requires dropout_rng")
     if _PALLAS_GN and jax.default_backend() == "tpu":
-        from .pallas.fused_norm import fused_norm_affine_packed
+        from .pallas.fused_norm import _tile_rows, fused_norm_affine_packed
 
-        seed = (
-            _seed_from_key(dropout_rng)
-            if dropout_p > 0.0
-            else jnp.zeros((1,), jnp.int32)
-        )
         flat = pk.flat_rows()
-        out = fused_norm_affine_packed(
-            flat, a.astype(jnp.float32), b.astype(jnp.float32), seed,
-            pk.channels, groups, eps, act, float(dropout_p))
-        return Packed(out.reshape(pk.data.shape), pk.spatial, pk.channels, pk.p)
+        sublane = 16 if flat.dtype == jnp.bfloat16 else 8
+        # A carrier built outside CUNet's block_packable gating may not be
+        # tileable — fall through to the XLA unpack path rather than crash
+        # inside the kernel launch (advisor round-2 finding).
+        if (pk.p * pk.channels) % 128 == 0 and _tile_rows(
+                flat.shape[1], sublane, flat.shape[2]) is not None:
+            seed = (
+                _seed_from_key(dropout_rng)
+                if dropout_p > 0.0
+                else jnp.zeros((1,), jnp.int32)
+            )
+            out = fused_norm_affine_packed(
+                flat, a.astype(jnp.float32), b.astype(jnp.float32), seed,
+                pk.channels, groups, eps, act, float(dropout_p))
+            return Packed(out.reshape(pk.data.shape), pk.spatial, pk.channels,
+                          pk.p)
     out = norm_affine_act(
         unpack(pk), a, b, groups, eps=eps, act=act,
         dropout_p=dropout_p, dropout_rng=dropout_rng)
