@@ -63,3 +63,83 @@ class TestSampling:
         x0 = jnp.zeros((1, 8, 8, 1))
         out = sfm.draw_samples(params, x0, n_sampling_steps=8)
         np.testing.assert_allclose(np.asarray(out), 2.5, rtol=1e-5)
+
+
+def _toy_sfm(sigma, c0, mu, s):
+    """SFM with the ANALYTIC ideal velocity of a Gaussian toy: x0 = c0
+    (known constant), x1 ~ N(mu, s^2) iid per coordinate, interpolant
+    x_t = (1-t) c0 + t x1 + sigma sqrt(t(1-t)) eps. Conditioning on x_t is
+    jointly Gaussian, so b(x, t) = E[x1 - x0 + sigma gdot eps | x_t] is a
+    closed-form affine map — the exact target the SFM loss would converge to."""
+    unet = CUNet(shape=(1, 8, 8), chs=(8, 8, 8, 8), norm_groups=4,
+                 dropout_prob=0.0)
+
+    class ToySFM(SFM):
+        def velocity(self, params, x, t, v_conditionings=(),
+                     s_conditioning=None, train=False, dropout_rng=None):
+            tb = t.reshape(t.shape + (1,) * (x.ndim - 1))
+            g2 = tb * (1.0 - tb)
+            m_t = (1.0 - tb) * c0 + tb * mu
+            var_t = tb**2 * s**2 + sigma**2 * g2
+            gain = (tb * s**2 + sigma**2 * (1.0 - 2.0 * tb) / 2.0) / var_t
+            return (mu - c0) + gain * (x - m_t)
+
+    return ToySFM(unet, sigma=sigma)
+
+
+class TestStochasticSampling:
+    """The posterior-sampling capability the reference lacks (its SFM
+    generation raises NotImplementedError, generate_3D.py:16-17): with the
+    ideal velocity of a known Gaussian toy, the stochastic samplers must
+    reproduce the true target distribution N(mu, s^2)."""
+
+    c0, mu, s, sigma = 0.3, 1.2, 0.5, 0.8
+    n = 16384
+
+    def _samples(self, method, churn=1.0, key=7):
+        sfm = _toy_sfm(self.sigma, self.c0, self.mu, self.s)
+        x0 = jnp.full((self.n, 1), self.c0)
+        out = sfm.draw_samples(
+            {}, x0, n_sampling_steps=400, method=method,
+            rng=jax.random.PRNGKey(key), churn=churn)
+        return np.asarray(out).ravel()
+
+    @pytest.mark.parametrize("method", ["heun", "sde"])
+    def test_matches_target_distribution(self, method):
+        xs = self._samples(method)
+        assert abs(xs.mean() - self.mu) < 0.03
+        np.testing.assert_allclose(xs.std(), self.s, rtol=0.05)
+
+    def test_sde_reps_differ_but_agree_in_law(self):
+        a = self._samples("sde", key=1)
+        b = self._samples("sde", key=2)
+        assert np.abs(a - b).max() > 0.1          # distinct realizations
+        assert abs(a.mean() - b.mean()) < 0.03    # same law
+        np.testing.assert_allclose(a.std(), b.std(), rtol=0.05)
+
+    def test_same_rng_is_deterministic(self):
+        a = self._samples("sde", key=3)
+        b = self._samples("sde", key=3)
+        np.testing.assert_array_equal(a, b)
+
+    def test_sde_requires_sigma_and_rng(self, tiny_sfm):
+        sfm, params = tiny_sfm  # sigma = 0
+        x0 = jnp.zeros((1, 8, 8, 1))
+        with pytest.raises(ValueError):
+            sfm.draw_samples(params, x0, n_sampling_steps=2, method="sde",
+                             rng=jax.random.PRNGKey(0))
+
+    def test_real_model_reps_differ(self):
+        """Through the actual CUNet: distinct rngs give distinct posterior
+        reps (the property calc_ss's 128-rep posterior std relies on)."""
+        unet = CUNet(shape=(1, 8, 8), chs=(8, 8, 8, 8), norm_groups=4,
+                     dropout_prob=0.0, v_conditioning_dims=(6,))
+        sfm = SFM(unet, sigma=0.2)
+        params = sfm.init_params(jax.random.PRNGKey(0), batch_size=2)
+        x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+        v = [jnp.ones((2, 6))]
+        kw = dict(n_sampling_steps=6, v_conditionings=v, method="sde")
+        a = sfm.draw_samples(params, x0, rng=jax.random.PRNGKey(10), **kw)
+        b = sfm.draw_samples(params, x0, rng=jax.random.PRNGKey(11), **kw)
+        assert np.all(np.isfinite(np.asarray(a)))
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4

@@ -48,6 +48,11 @@ def main(argv=None):
                          "batch is additionally sharded N-way over the data "
                          "mesh axis — the TPU-native version of the "
                          "reference's 6-way bash job sharding")
+    ap.add_argument("--sfm-method", type=str, default="heun",
+                    choices=["heun", "euler", "sde"],
+                    help="SFM sampler: ODE (heun/euler, noise-injected start "
+                         "when the model was trained with sfm_sigma > 0) or "
+                         "the score-corrected SDE (requires sfm_sigma > 0)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--set", dest="overrides", nargs="*", metavar="SEC.KEY=VAL",
@@ -102,9 +107,16 @@ def main(argv=None):
     dm = build_datamodule(cfg, stage="test")
     rngs = RngStream(args.seed)
 
-    # SFM sampling is a deterministic ODE from x0 — batching reps would just
-    # repeat the same field, so rep-batching applies to VDM campaigns only.
-    rpb = 1 if is_sfm else max(1, args.reps_per_batch)
+    # SFM models trained with sfm_sigma > 0 sample stochastically (noise-
+    # injected start / SDE, flows/sfm.py), so their campaigns rep-batch like
+    # VDM's. A sigma=0 SFM remains a deterministic ODE from x0 — batching
+    # reps would just repeat the same field, so rpb collapses to 1.
+    sfm_stochastic = is_sfm and cfg.model.sfm_sigma > 0.0
+    if is_sfm and args.sfm_method == "sde" and not sfm_stochastic:
+        ap.error("--sfm-method sde requires a model trained with "
+                 "model.sfm_sigma > 0")
+    rpb = (1 if (is_sfm and not sfm_stochastic)
+           else max(1, args.reps_per_batch))
     if mesh is not None:
         # sharded sampling: the volume shards over ``sp`` (native resolutions
         # the reference can't fit), and the rep batch shards over ``data`` —
@@ -118,16 +130,29 @@ def main(argv=None):
 
         params = jax.device_put(params, NamedSharding(mesh, P()))
         if is_sfm:
-            sharded = make_sharded_sfm_sampler(model, mesh, args.n_sampling_steps)
-            sample_fn = lambda p, x0, v: sharded(p, x0, v)
+            sharded = make_sharded_sfm_sampler(
+                model, mesh, args.n_sampling_steps, method=args.sfm_method,
+                stochastic=sfm_stochastic)
+            if sfm_stochastic:
+                sample_fn = lambda p, x0, r, v: sharded(p, x0, r, v)
+            else:
+                sample_fn = lambda p, x0, v: sharded(p, x0, v)
         else:
             sharded = make_sharded_vdm_sampler(
                 model, mesh, rpb, args.n_sampling_steps)
             sample_fn = lambda p, r, s, v: sharded(p, r, s, v)
+    elif is_sfm and sfm_stochastic:
+        sample_fn = jax.jit(
+            lambda p, x0, r, v: model.draw_samples(
+                p, x0, n_sampling_steps=args.n_sampling_steps,
+                v_conditionings=v, method=args.sfm_method, rng=r,
+            )
+        )
     elif is_sfm:
         sample_fn = jax.jit(
             lambda p, x0, v: model.draw_samples(
-                p, x0, n_sampling_steps=args.n_sampling_steps, v_conditionings=v
+                p, x0, n_sampling_steps=args.n_sampling_steps,
+                v_conditionings=v, method=args.sfm_method,
             )
         )
     else:
@@ -148,7 +173,10 @@ def main(argv=None):
         if cfg.data.conditioning_values == 0:
             v = []
         if is_sfm:
-            return sample_fn(params, jnp.asarray(batch["x0"]), v)
+            x0 = _tile(jnp.asarray(batch["x0"]))
+            if sfm_stochastic:
+                return sample_fn(params, x0, rng, v)
+            return sample_fn(params, x0, v)
         cond = batch.get("conditioning")
         cond = None if cond is None else _tile(cond)
         return sample_fn(params, rng, cond, v)

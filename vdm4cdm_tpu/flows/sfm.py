@@ -21,6 +21,7 @@ from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.cunet import CUNet
 
@@ -122,24 +123,85 @@ class SFM:
         n_sampling_steps: int = 250,
         v_conditionings: Sequence[jnp.ndarray] = (),
         method: str = "heun",
+        rng: Optional[jax.Array] = None,
+        churn: float = 1.0,
     ) -> jnp.ndarray:
-        """Integrate dx/dt = v_theta(x, t) from t=0 (x0 = conditioning field)
-        to t=1 (target field). Deterministic; lax.scan over steps."""
-        dt = 1.0 / n_sampling_steps
-        ts = jnp.linspace(0.0, 1.0, n_sampling_steps + 1)
+        """Transport x0 (the conditioning field) to a sample of the target
+        field. lax.scan over steps; jittable.
+
+        method:
+          "euler" | "heun" — the probability-flow ODE dx/dt = v_theta(x, t).
+            Deterministic given the start point. When ``rng`` is provided and
+            sigma > 0, the start point is noise-injected consistently with
+            the sigma>0 interpolant (below), so distinct rngs give distinct
+            posterior samples.
+          "sde" — Euler-Maruyama on the marginal-preserving SDE family
+            dx = [v + (a/2) s] dt + sqrt(a) dW (requires sigma > 0 and rng).
+            The score of the x0-CONDITIONED interpolant marginal is available
+            from the velocity alone because x0 is known at sampling time:
+            with x_t = (1-t) x0 + t x1 + sigma g eps, g = sqrt(t(1-t)),
+            taking E[.|x_t] of the interpolant and of the velocity target
+            gives two linear equations in (E[x1|x_t], E[eps|x_t]); since
+            gdot - g/t = -1/(2g) they solve to
+                s(x, t) = (2/sigma^2) (v_theta(x, t) - (x - x0)/t).
+            Churn a(t) = churn * sigma^2 * t(1-t) keeps every term bounded
+            ((a/2) s = churn * t(1-t) * (v - (x-x0)/t) — sigma cancels).
+
+        Start point: the interpolant marginal at t0 = t_eps is
+        (1-t0) x0 + t0 x1 + sigma g(t0) eps; the O(t0) x1 term is dropped
+        (unknown), giving x_start = (1-t0) x0 + sigma g(t0) eps. Integrating
+        the learned transport from t0 pushes that marginal to the t=1 target,
+        so rep diversity is exact up to the O(t_eps) start bias.
+
+        The reference leaves SFM sampling entirely unimplemented
+        (generate_3D.py:16-17); stochastic reps make its 128-rep posterior
+        mean/std campaigns (calc_SS.py:150-158) meaningful for SFM here.
+        """
+        if method == "sde" and (self.sigma <= 0.0 or rng is None):
+            raise ValueError("sde sampling requires sigma > 0 and an rng")
+        t0 = self.t_eps if (rng is not None and self.sigma > 0.0) else 0.0
+        if t0 > 0.0:
+            # Stochastic start: the ideal velocity expands the sigma*sqrt(t)
+            # start noise at rate ~1/(2t) near t0 (stiff). Quadratic time
+            # warp puts near-geometric steps there (step log-ratio bounded),
+            # where uniform steps of any practical count under-resolve —
+            # validated against the closed-form Gaussian toy in
+            # tests/test_sfm.py::TestStochasticSampling.
+            u = jnp.linspace(0.0, 1.0, n_sampling_steps + 1)
+            ts = t0 + (1.0 - t0) * u**2
+        else:
+            ts = jnp.linspace(0.0, 1.0, n_sampling_steps + 1)
+        dts = ts[1:] - ts[:-1]
+
+        if t0 > 0.0:
+            rng, rng_ic = jax.random.split(rng)
+            g0 = float(np.sqrt(t0 * (1.0 - t0)))
+            x_start = (1.0 - t0) * x0 + self.sigma * g0 * jax.random.normal(
+                rng_ic, x0.shape, x0.dtype)
+        else:
+            x_start = x0
 
         def euler_body(x, i):
             v = self.velocity(params, x, jnp.full((x.shape[0],), ts[i]), v_conditionings)
-            return x + dt * v, None
+            return x + dts[i] * v, None
 
         def heun_body(x, i):
-            t0 = jnp.full((x.shape[0],), ts[i])
-            t1 = jnp.full((x.shape[0],), ts[i + 1])
-            v0 = self.velocity(params, x, t0, v_conditionings)
-            x_pred = x + dt * v0
-            v1 = self.velocity(params, x_pred, t1, v_conditionings)
-            return x + 0.5 * dt * (v0 + v1), None
+            t0_ = jnp.full((x.shape[0],), ts[i])
+            t1_ = jnp.full((x.shape[0],), ts[i + 1])
+            v0 = self.velocity(params, x, t0_, v_conditionings)
+            x_pred = x + dts[i] * v0
+            v1 = self.velocity(params, x_pred, t1_, v_conditionings)
+            return x + 0.5 * dts[i] * (v0 + v1), None
 
-        body = heun_body if method == "heun" else euler_body
-        x, _ = jax.lax.scan(body, x0, jnp.arange(n_sampling_steps))
+        def sde_body(x, i):
+            t = ts[i]
+            v = self.velocity(params, x, jnp.full((x.shape[0],), t), v_conditionings)
+            a = churn * self.sigma**2 * t * (1.0 - t)
+            drift = v + churn * t * (1.0 - t) * (v - (x - x0) / t)
+            noise = jax.random.normal(jax.random.fold_in(rng, i), x.shape,
+                                      x.dtype)
+            return x + dts[i] * drift + jnp.sqrt(a * dts[i]) * noise, None
+
+        body = {"euler": euler_body, "heun": heun_body, "sde": sde_body}[method]
+        x, _ = jax.lax.scan(body, x_start, jnp.arange(n_sampling_steps))
         return x

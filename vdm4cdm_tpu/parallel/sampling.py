@@ -81,17 +81,44 @@ def make_sharded_sfm_sampler(
     mesh: Mesh,
     n_sampling_steps: int = 250,
     method: str = "heun",
+    stochastic: bool = False,
 ):
-    """Returns jitted sample(params, x0, v_conditionings): deterministic ODE
-    transport with x0 and the result sharded (data, sp)."""
+    """Returns a jitted sharded SFM sampler with x0 and the result sharded
+    (data, sp).
+
+    stochastic=False: sample(params, x0, v_conditionings) — deterministic ODE
+    transport (sharded == unsharded to numerical precision; the halo-machinery
+    end-to-end test).
+    stochastic=True: sample(params, x0, rng, v_conditionings) — noise-injected
+    start (+ SDE churn when method="sde"; flows/sfm.py draw_samples). The rng
+    folds in both mesh indices: data shards are distinct posterior reps, and
+    the sp shards of one volume draw iid noise voxels (the time ladder and
+    drift math are shard-independent), mirroring the VDM sampler's RNG
+    discipline."""
     nd = sfm_sharded.velocity_model.ndim_spatial
+    ctx = sfm_sharded.velocity_model.ctx
     bspec = batch_pspec(nd)
 
-    def per_shard(params, x0, vvals):
+    def per_shard(params, x0, vvals, rng=None):
+        if rng is not None:
+            if ctx.data_axis is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(ctx.data_axis))
+            if ctx.axis is not None:
+                rng = jax.random.fold_in(rng, ctx.axis_index())
         return sfm_sharded.draw_samples(
             params, x0, n_sampling_steps=n_sampling_steps,
-            v_conditionings=list(vvals), method=method,
+            v_conditionings=list(vvals), method=method, rng=rng,
         )
+
+    if stochastic:
+        fn = jax.shard_map(
+            lambda params, x0, rng, vvals: per_shard(params, x0, vvals, rng),
+            mesh=mesh,
+            in_specs=(P(), bspec, P(), P(AXES.data)),
+            out_specs=bspec,
+            check_vma=False,
+        )
+        return jax.jit(fn)
 
     fn = jax.shard_map(
         per_shard, mesh=mesh,
