@@ -16,8 +16,14 @@ brackets the denominator at 3.6-9.5 Mvox/s. Full arithmetic + the torch-twin
 command to replace the estimate with a measurement: BASELINE.md "The bench
 denominator". BASELINE.md sets the target at >=5x reference throughput.
 
+Measurement protocol: K timing windows of BENCH_STEPS steps each (median
+reported, min-max spread recorded as "drift_spread") — the tunneled platform's
+throughput drifts up to ~45% across hours (docs/DESIGN.md §6), so a single
+window cannot be trusted.
+
 Env knobs:
-  BENCH_SIZE (default 128), BENCH_BATCH (2), BENCH_STEPS (20), BENCH_DTYPE
+  BENCH_SIZE (default 128), BENCH_BATCH (2), BENCH_STEPS (8 per window),
+  BENCH_WINDOWS (5), BENCH_DTYPE
   (bfloat16|float32, default bfloat16 activations / f32 params+ELBOU),
   BENCH_REMAT (default "blocks": no full remat, rematerialize only 4 of the
   5 full-resolution L0 ResBlocks + bf16 Adam first moment — fits the 16 GB
@@ -54,7 +60,8 @@ def main():
 
     size = int(os.environ.get("BENCH_SIZE", 128))
     batch = int(os.environ.get("BENCH_BATCH", 2))
-    n_steps = int(os.environ.get("BENCH_STEPS", 20))
+    n_steps = int(os.environ.get("BENCH_STEPS", 8))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", 5))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
     remat_mode = os.environ.get("BENCH_REMAT", "blocks")
 
@@ -77,7 +84,12 @@ def main():
 
     net = build_net(remat_mode)
     vdm = VDM(net, make_schedule("learned_linear", -13.3, 13.3))
-    params = jax.jit(lambda r: vdm.init_params(r, batch_size=1))(jax.random.PRNGKey(0))
+
+    def init_params():
+        return jax.jit(lambda r: vdm.init_params(r, batch_size=1))(
+            jax.random.PRNGKey(0))
+
+    params = init_params()
 
     if os.environ.get("BENCH_MODE", "train") == "sample":
         n_sampling_steps = int(os.environ.get("BENCH_SAMPLE_STEPS", 250))
@@ -114,7 +126,7 @@ def main():
     }
     key = jax.random.PRNGKey(1)
 
-    def warmup(vdm, mode):
+    def warmup(vdm, mode, params):
         optimizer = make_optimizer(
             moment_dtype=jnp.bfloat16 if mode == "blocks" else None)
         state = TrainState(0, params, optimizer.init(params))
@@ -124,32 +136,56 @@ def main():
         float(metrics["loss"])
         return state, step_fn
 
+    def is_oom(e: Exception) -> bool:
+        msg = str(e)
+        return any(tag in msg for tag in (
+            "RESOURCE_EXHAUSTED", "Out of memory", "OOM", "exceeds the memory"))
+
     # warmup (compile + 2 steps). Timing protocol: a scalar host fetch is the
     # only reliable sync on this platform's tunnel (block_until_ready can
     # return early for donated-buffer chains) — fetch the final loss.
     try:
-        state, step_fn = warmup(vdm, remat_mode)
-    except Exception:
-        if remat_mode == "1":
+        state, step_fn = warmup(vdm, remat_mode, params)
+    except Exception as e:
+        # ONLY an allocation failure selects the slower full-remat fallback;
+        # any other error (compile bug, shape error) must fail the bench.
+        if remat_mode == "1" or not is_oom(e):
             raise
-        remat_mode = "1"  # blocks config OOMed: fall back to full remat
+        import sys
+        print(f"[bench] blocks-remat config OOMed ({type(e).__name__}); "
+              "falling back to full remat", file=sys.stderr)
+        remat_mode = "1"
         vdm = VDM(build_net("1"), make_schedule("learned_linear", -13.3, 13.3))
-        state, step_fn = warmup(vdm, "1")
+        # params may have been donated by the failed warmup's first step
+        state, step_fn = warmup(vdm, "1", init_params())
 
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step_fn(state, batch_data, jax.random.fold_in(key, 100 + i))
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
-
+    # Median-of-K windows: the tunneled TPU slice's effective throughput
+    # drifts by up to ~45% over hours (docs/DESIGN.md §6), so one window is
+    # weather, not workload. Report the median with the min-max spread.
+    window_vox_s = []
     voxels_per_step = batch * size**3
-    value = voxels_per_step * n_steps / dt
+    step_idx = 100
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = step_fn(
+                state, batch_data, jax.random.fold_in(key, step_idx))
+            step_idx += 1
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        window_vox_s.append(voxels_per_step * n_steps / dt)
+
+    value = float(np.median(window_vox_s))
+    spread = (max(window_vox_s) - min(window_vox_s)) / value
     baseline = BASELINE_VOX_S
     print(json.dumps({
         "metric": f"train_voxels_per_sec_per_chip_vdm3d_c_c_{size}",
         "value": round(value, 1),
         "unit": "voxels/s",
         "vs_baseline": round(value / baseline, 3),
+        "windows_vox_s": [round(v, 1) for v in window_vox_s],
+        "drift_spread": round(spread, 3),
+        "remat": remat_mode,
     }))
 
 

