@@ -43,7 +43,14 @@ from ..ops.norm import (
     packed_group_norm_film,
     packed_norm_affine_act,
 )
-from ..ops.packed import Packed, block_packable, pack, pack_factor, unpack
+from ..ops.packed import (
+    Packed,
+    block_pack_factor,
+    block_packable,
+    pack,
+    pack_concat,
+    unpack,
+)
 from ..ops.resample import downsample_conv, upsample_nearest
 from ..parallel.halo import (
     NO_SHARD,
@@ -297,17 +304,46 @@ class CUNet(nn.Module):
 
         def prep(h, feat):
             """Pack h for an upcoming ResBlock(C -> feat) when the whole block
-            can run on the carrier; otherwise hand it over unpacked."""
+            can run on the carrier; otherwise hand it over unpacked. The pack
+            factor must suit BOTH C and feat (block_pack_factor); a carrier
+            arriving with an unsuitable p is repacked — a free reshape chain,
+            both packed forms are dense row-major views of the same order."""
             if not use_packed:
                 return _arr(h)
             if isinstance(h, Packed):
-                sp, c, p = h.spatial, h.channels, h.p
+                sp, c = h.spatial, h.channels
+                if block_packable(sp, c, feat, h.p, self.compute_dtype):
+                    return h
             else:
                 sp, c = tuple(h.shape[1:-1]), h.shape[-1]
-                p = pack_factor(c)
-            if block_packable(sp, c, feat, p, self.compute_dtype):
-                return h if isinstance(h, Packed) else pack(h, p)
+            p = block_pack_factor(c, feat)
+            if p is not None and sp[-1] % p == 0 and block_packable(
+                    sp, c, feat, p, self.compute_dtype):
+                return pack(_arr(h), p)
             return _arr(h)
+
+        def skip_concat(h, s, feat):
+            """Channel-concat h with a skip for an upcoming ResBlock(-> feat).
+            When the joined block can run packed, both operands are (re)packed
+            at the block's joint pack factor — free reshapes on dense
+            carriers — and joined lane-dense (ops.packed.pack_concat), so the
+            decoder never materializes a lane-padded concat intermediate."""
+            hc = h.channels if isinstance(h, Packed) else h.shape[-1]
+            sc = s.channels if isinstance(s, Packed) else s.shape[-1]
+            if use_packed:
+                sp = (h.spatial if isinstance(h, Packed)
+                      else tuple(h.shape[1:-1]))
+                c = hc + sc
+                p = block_pack_factor(c, feat)
+                if (p is not None and sp[-1] % p == 0
+                        and block_packable(sp, c, feat, p,
+                                           self.compute_dtype)):
+                    hp = h if isinstance(h, Packed) and h.p == p \
+                        else pack(_arr(h), p)
+                    spk = s if isinstance(s, Packed) and s.p == p \
+                        else pack(_arr(s), p)
+                    return pack_concat(hp, spk)
+            return jnp.concatenate([_arr(h), _arr(s)], axis=-1)
 
         # -- encoder ----------------------------------------------------------
         h = _Conv(self.chs[0], 3, padding_mode=pm, ctx=ctx, name="conv_in")(x)
@@ -338,15 +374,13 @@ class CUNet(nn.Module):
         # -- decoder ----------------------------------------------------------
         for level, ch in reversed(list(enumerate(self.chs))):
             for blk in range(self.num_res_blocks + 1):
-                h = jnp.concatenate([_arr(h), _arr(skips.pop())], axis=-1)
+                h = skip_concat(h, skips.pop(), ch)
                 h = prep(h, ch)
                 h = Res(level, ch, ng, self.dropout_prob, pm, ctx, train,
                         name=f"up_{level}_{blk}")(h, emb)
             if level > 0:
                 h = upsample_nearest(_arr(h))
-                h = prep(h, ch) if use_packed and not isinstance(h, Packed)                     and block_packable(tuple(h.shape[1:-1]), h.shape[-1], ch,
-                                       pack_factor(h.shape[-1]),
-                                       self.compute_dtype) else h
+                h = prep(h, ch)
                 h = _Conv(ch, 3, padding_mode=pm, ctx=ctx,
                           name=f"upsample_{level}")(h)
         assert not skips

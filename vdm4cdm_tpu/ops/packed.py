@@ -43,6 +43,18 @@ def pack_factor(C: int) -> Optional[int]:
     return None
 
 
+def block_pack_factor(cin: int, features: int) -> Optional[int]:
+    """Smallest p valid for BOTH a block's input and output channel counts —
+    a ResBlock's carrier keeps one p end to end, and the conv's OUTPUT rows
+    (p * features lanes) must be a whole number of 128-lane tiles too (e.g.
+    the decoder's 64 -> 32 blocks need p = 4: p = pack_factor(64) = 2 gives
+    64-lane output rows, which don't pack)."""
+    for p in (1, 2, 4, 8):
+        if (p * cin) % 128 == 0 and (p * features) % 128 == 0:
+            return p
+    return None
+
+
 @struct.dataclass
 class Packed:
     """Channel-packed activation: data (B, D, H*W/p, p*C)."""
@@ -74,6 +86,22 @@ def pack(x: jnp.ndarray, p: Optional[int] = None) -> Packed:
 def unpack(pk: Packed) -> jnp.ndarray:
     d, h, w = pk.spatial
     return pk.data.reshape(pk.batch, d, h, w, pk.channels)
+
+
+def pack_concat(a: Packed, b: Packed) -> Packed:
+    """Channel-concat two carriers at the SAME pack factor without unpacking:
+    the (B, D, R, p*C) rows are viewed (B, D, R, p, C), concatenated on the
+    channel axis, and re-flattened — one dense pass writing the fused result,
+    equal to pack(concat(unpack(a), unpack(b), axis=-1), p). This is how the
+    decoder's skip joins stay lane-dense (the unpack->concat->repack chain
+    otherwise materializes a lane-padded intermediate)."""
+    assert a.p == b.p and a.spatial == b.spatial and a.batch == b.batch
+    B, D, R = a.data.shape[:3]
+    av = a.data.reshape(B, D, R, a.p, a.channels)
+    bv = b.data.reshape(B, D, R, b.p, b.channels)
+    c = a.channels + b.channels
+    out = jnp.concatenate([av, bv.astype(av.dtype)], axis=-1)
+    return Packed(out.reshape(B, D, R, a.p * c), a.spatial, c, a.p)
 
 
 def conv_packable(spatial, cin: int, cout: int, p: int, dtype) -> bool:

@@ -40,8 +40,10 @@ Design v2 (TPU-first, no reference analog — the reference delegates to cuDNN):
     last lane block; j=p-1 needs w+1 from the next row's first block) become
     two thin (rows, C) edge copies — the only place the helical-vs-periodic
     w-wrap needs fixing (a masked select from +-W/p rows away) — batched
-    across the 9 (dz, dy) into two (rows, 9*C) scratches and TWO GEMMs with
-    K = 9*C;
+    per dz across the 3 dy into two (rows, 3*C) scratches and per-dz edge
+    GEMMs with K = 3*C (chunked per dz in round 3: the earlier (rows, 9*C)
+    batch overflowed the VMEM budget at the decoder's concat widths, cin
+    64-96 at 128^3, silently dropping the whole decoder to the XLA path);
   * backward: dx is the same kernel with spatially-flipped, io-transposed
     weights (transpose of a SAME k3/s1 conv; circular stays circular), and
     dw accumulates the SAME banded/edge GEMM structure transposed (K = rows:
@@ -67,7 +69,13 @@ from jax.experimental.pallas import tpu as pltpu
 # VMEM working-set budget (bytes) for tile sizing. Env-tunable.
 import os as _os
 
-_VMEM_BUDGET = int(_os.environ.get("VDM4CDM_PALLAS_CONV_MB", "30")) * 1024 * 1024
+_VMEM_BUDGET = int(_os.environ.get("VDM4CDM_PALLAS_CONV_MB", "40")) * 1024 * 1024
+# Scoped-VMEM ceiling handed to Mosaic. v5e has 128 MB physical VMEM; the
+# 64 MB default is too tight for the decoder widths because Mosaic's stack
+# materializes dynamic-slot window slices (measured: the 96->32 kernel's
+# stack alone is ~80 MB with scratch included). 100 MB leaves room for the
+# double-buffered in/out blocks outside the scope.
+_VMEM_LIMIT = int(_os.environ.get("VDM4CDM_PALLAS_CONV_LIMIT_MB", "100")) * 1024 * 1024
 
 
 def _pack_factor(W: int, C: int):
@@ -83,7 +91,7 @@ def _tile_bytes(dT: int, rows: int, O: int, p: int, C: int, Cout: int,
                 itemsize: int):
     slots = (2 * dT + 2) * (rows + 2 * O) * p * C * itemsize
     acc = rows * p * Cout * 4
-    edges = 2 * rows * 9 * C * itemsize
+    edges = 2 * rows * 3 * C * itemsize
     out_blk = 2 * dT * rows * p * Cout * itemsize
     wq = 9 * p * C * p * Cout * itemsize + 2 * 9 * C * Cout * itemsize
     # Mosaic stack temps the kernel body keeps live: the f32 dot result being
@@ -300,59 +308,47 @@ def _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode="wrap"):
     return None
 
 
-def _fill_edges(slots_ref, elo_ref, ehi_ref, dd, di, *,
-                dT, n_dd, O, Wp, p, C, rows, zeros, zmode="wrap"):
-    """Build the batched (rows, 9C) cross-row edge operands for output plane
-    di: for each (dz, dy), slot j=0's w-1 voxel (previous row, last lane
-    block) and slot j=p-1's w+1 voxel (next row, first block), with the
-    helical w-wrap fixed by a masked select +-Wp rows away (zeroed for zeros
-    padding). Zeros-masked boundary planes write zero columns so the batched
-    edge GEMMs stay unconditional."""
-    R = 2 * dT + 2
+def _edge_operands_dz(slots_ref, sl, *, O, Wp, p, C, rows, zeros):
+    """The (rows, 3C) cross-row edge operands for one input plane (ring slot
+    ``sl``), as SSA VALUES: for each dy, slot j=0's w-1 voxel (previous row,
+    last lane block) and slot j=p-1's w+1 voxel (next row, first block), with
+    the helical w-wrap fixed by a masked select +-Wp rows away (zeroed for
+    zeros padding). Chunked per dz (round 3; was one (rows, 9C) scratch
+    batch): the 9C scratch overflowed the VMEM budget at the decoder's concat
+    widths (cin 64-96 at 128^3), silently dropping the whole decoder off the
+    fast path (HLO byte audit, DESIGN §7) — and the scratch-reuse rewrite of
+    the per-dz chunks miscompiled on Mosaic (fill -> GEMM -> overwrite per
+    chunk), so the operands are built as values instead."""
     lanes_last = slice((p - 1) * C, p * C)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 0) % Wp
-    for dz in range(3):
-        pred = _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode)
-
-        def fill(_dz=dz):
-            sl = jax.lax.rem(dd * dT + di + _dz, R)
-            for dyi in range(3):
-                base = O + (dyi - 1) * Wp
-                i = _dz * 3 + dyi
-                lo = slots_ref[sl, base - 1:base + rows - 1, lanes_last]
-                if zeros:
-                    lo = jnp.where(wcol == 0, 0, lo)
-                else:
-                    lo = jnp.where(
-                        wcol == 0,
-                        slots_ref[sl, base - 1 + Wp:base + rows - 1 + Wp,
-                                  lanes_last],
-                        lo)
-                elo_ref[:, i * C:(i + 1) * C] = lo
-                hi = slots_ref[sl, base + 1:base + rows + 1, 0:C]
-                if zeros:
-                    hi = jnp.where(wcol == Wp - 1, 0, hi)
-                else:
-                    hi = jnp.where(
-                        wcol == Wp - 1,
-                        slots_ref[sl, base + 1 - Wp:base + rows + 1 - Wp, 0:C],
-                        hi)
-                ehi_ref[:, i * C:(i + 1) * C] = hi
-
-        def zero(_dz=dz):
-            z = jnp.zeros((rows, 3 * C), elo_ref.dtype)
-            elo_ref[:, _dz * 3 * C:(_dz + 1) * 3 * C] = z
-            ehi_ref[:, _dz * 3 * C:(_dz + 1) * 3 * C] = z
-
-        if pred is None:
-            fill()
+    lo_parts, hi_parts = [], []
+    for dyi in range(3):
+        base = O + (dyi - 1) * Wp
+        lo = slots_ref[sl, base - 1:base + rows - 1, lanes_last]
+        if zeros:
+            lo = jnp.where(wcol == 0, 0, lo)
         else:
-            pl.when(pred)(fill)
-            pl.when(jnp.logical_not(pred))(zero)
+            lo = jnp.where(
+                wcol == 0,
+                slots_ref[sl, base - 1 + Wp:base + rows - 1 + Wp,
+                          lanes_last],
+                lo)
+        lo_parts.append(lo)
+        hi = slots_ref[sl, base + 1:base + rows + 1, 0:C]
+        if zeros:
+            hi = jnp.where(wcol == Wp - 1, 0, hi)
+        else:
+            hi = jnp.where(
+                wcol == Wp - 1,
+                slots_ref[sl, base + 1 - Wp:base + rows + 1 - Wp, 0:C],
+                hi)
+        hi_parts.append(hi)
+    return (jnp.concatenate(lo_parts, axis=1),
+            jnp.concatenate(hi_parts, axis=1))
 
 
 def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
-                slots_ref, sems, acc_ref, elo_ref, ehi_ref, *,
+                slots_ref, sems, acc_ref, *,
                 dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap"):
     b, dd = pl.program_id(0), pl.program_id(1)
     n_dd = pl.num_programs(1)
@@ -360,23 +356,23 @@ def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
     _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd,
                   dT=dT, O=O, D=D, rows=rows, zeros=zeros, zmode=zmode)
     for di in range(dT):
-        _fill_edges(slots_ref, elo_ref, ehi_ref, dd, di,
-                    dT=dT, n_dd=n_dd, O=O, Wp=Wp, p=p, C=C, rows=rows,
-                    zeros=zeros, zmode=zmode)
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
-        acc_ref[:, 0:Cout] += jax.lax.dot_general(
-            elo_ref[:, :], wlo_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_ref[:, (p - 1) * Cout:p * Cout] += jax.lax.dot_general(
-            ehi_ref[:, :], whi_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
         for dz in range(3):
             pred = _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode)
 
-            def gemms(_dz=dz):
+            def chunk(_dz=dz):
                 sl = jax.lax.rem(dd * dT + di + _dz, R)
+                elo, ehi = _edge_operands_dz(
+                    slots_ref, sl, O=O, Wp=Wp, p=p, C=C, rows=rows,
+                    zeros=zeros)
+                acc_ref[:, 0:Cout] += jax.lax.dot_general(
+                    elo, wlo_ref[_dz * 3 * C:(_dz + 1) * 3 * C, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_ref[:, (p - 1) * Cout:p * Cout] += jax.lax.dot_general(
+                    ehi, whi_ref[_dz * 3 * C:(_dz + 1) * 3 * C, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
                 for dyi in range(3):
                     base = O + (dyi - 1) * Wp
                     acc_ref[:, :] += jax.lax.dot_general(
@@ -386,14 +382,14 @@ def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
                         preferred_element_type=jnp.float32)
 
             if pred is None:
-                gemms()
+                chunk()
             else:
-                pl.when(pred)(gemms)
+                pl.when(pred)(chunk)
         out_ref[0, di] = acc_ref[:, :].astype(out_ref.dtype)
 
 
 def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref,
-               slots_ref, sems, elo_ref, ehi_ref,
+               slots_ref, sems,
                accq_ref, acclo_ref, acchi_ref, *,
                dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap"):
     b, dd = pl.program_id(0), pl.program_id(1)
@@ -409,34 +405,36 @@ def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref,
     _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd,
                   dT=dT, O=O, D=D, rows=rows, zeros=zeros, zmode=zmode)
     for di in range(dT):
-        _fill_edges(slots_ref, elo_ref, ehi_ref, dd, di,
-                    dT=dT, n_dd=n_dd, O=O, Wp=Wp, p=p, C=C, rows=rows,
-                    zeros=zeros, zmode=zmode)
         ct = ct_ref[0, di]
         for dz in range(3):
             pred = _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode)
 
-            def gemms(_dz=dz):
+            def chunk(_dz=dz):
                 sl = jax.lax.rem(dd * dT + di + _dz, R)
+                elo, ehi = _edge_operands_dz(
+                    slots_ref, sl, O=O, Wp=Wp, p=p, C=C, rows=rows,
+                    zeros=zeros)
                 for dyi in range(3):
                     base = O + (dyi - 1) * Wp
                     accq_ref[_dz * 3 + dyi] += jax.lax.dot_general(
                         slots_ref[sl, base:base + rows, :], ct,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                acclo_ref[_dz * 3 * C:(_dz + 1) * 3 * C, :] += (
+                    jax.lax.dot_general(
+                        elo, ct[:, 0:Cout],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                acchi_ref[_dz * 3 * C:(_dz + 1) * 3 * C, :] += (
+                    jax.lax.dot_general(
+                        ehi, ct[:, (p - 1) * Cout:p * Cout],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
 
             if pred is None:
-                gemms()
+                chunk()
             else:
-                pl.when(pred)(gemms)
-        acclo_ref[:, :] += jax.lax.dot_general(
-            elo_ref[:, :], ct[:, 0:Cout],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acchi_ref[:, :] += jax.lax.dot_general(
-            ehi_ref[:, :], ct[:, (p - 1) * Cout:p * Cout],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+                pl.when(pred)(chunk)
 
     last = (b == pl.num_programs(0) - 1) & (dd == n_dd - 1)
 
@@ -490,11 +488,9 @@ def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial, zmode="wrap"):
             pltpu.VMEM((2 * dT + 2, rows + 2 * O, p * C), xq.dtype),
             pltpu.SemaphoreType.DMA((2 * dT + 2, 3)),
             pltpu.VMEM((rows, p * Cout), jnp.float32),
-            pltpu.VMEM((rows, 9 * C), xq.dtype),
-            pltpu.VMEM((rows, 9 * C), xq.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * H * W * (9 * p + 6) * C * Cout,
             bytes_accessed=B * D * H * W * (C + Cout) * xq.dtype.itemsize,
@@ -555,14 +551,12 @@ def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None,
         scratch_shapes=[
             pltpu.VMEM((2 * dT + 2, rows + 2 * O, p * C), x.dtype),
             pltpu.SemaphoreType.DMA((2 * dT + 2, 3)),
-            pltpu.VMEM((rows, 9 * C), x.dtype),
-            pltpu.VMEM((rows, 9 * C), x.dtype),
             pltpu.VMEM((9, p * C, p * Cout), jnp.float32),
             pltpu.VMEM((9 * C, Cout), jnp.float32),
             pltpu.VMEM((9 * C, Cout), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * H * W * (9 * p + 6) * C * Cout,
             bytes_accessed=B * D * H * W * (C + Cout) * x.dtype.itemsize,
