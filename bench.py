@@ -63,14 +63,24 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", 8))
     n_windows = int(os.environ.get("BENCH_WINDOWS", 5))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
-    remat_mode = os.environ.get("BENCH_REMAT", "blocks")
+    # Default: rematerialize ONE full-resolution encoder block — with the
+    # decoder on the packed fast path (round 3) that is all the headroom the
+    # 16 GB chip needs (full no-remat misses HBM by ~114 MB; the 4-block
+    # "blocks" set measured 1.8% slower). OOM falls back to "blocks", then "1".
+    remat_mode = os.environ.get("BENCH_REMAT", "down_0_0")
 
     def build_net(mode):
+        # mode: "1" full remat | "blocks" the default 4-block set | "0" none |
+        # comma-separated block names (e.g. "down_0_0,up_0_2") for ablations.
+        if mode == "blocks":
+            blocks = ("down_0_0", "down_0_1", "up_0_1", "up_0_2")
+        elif mode in ("0", "1"):
+            blocks = ()
+        else:
+            blocks = tuple(b for b in mode.split(",") if b)
         return CUNet(
             remat=mode == "1",
-            remat_blocks=(
-                ("down_0_0", "down_0_1", "up_0_1", "up_0_2")
-                if mode == "blocks" else ()),
+            remat_blocks=blocks,
             shape=(1, size, size, size),
             chs=(32, 64, 128, 256),
             s_conditioning_channels=1,
@@ -128,7 +138,7 @@ def main():
 
     def warmup(vdm, mode, params):
         optimizer = make_optimizer(
-            moment_dtype=jnp.bfloat16 if mode == "blocks" else None)
+            moment_dtype=None if mode == "1" else jnp.bfloat16)
         state = TrainState(0, params, optimizer.init(params))
         step_fn = make_train_step(vdm, optimizer)
         for i in range(3):
@@ -144,20 +154,25 @@ def main():
     # warmup (compile + 2 steps). Timing protocol: a scalar host fetch is the
     # only reliable sync on this platform's tunnel (block_until_ready can
     # return early for donated-buffer chains) — fetch the final loss.
-    try:
-        state, step_fn = warmup(vdm, remat_mode, params)
-    except Exception as e:
-        # ONLY an allocation failure selects the slower full-remat fallback;
-        # any other error (compile bug, shape error) must fail the bench.
-        if remat_mode == "1" or not is_oom(e):
-            raise
-        import sys
-        print(f"[bench] blocks-remat config OOMed ({type(e).__name__}); "
-              "falling back to full remat", file=sys.stderr)
-        remat_mode = "1"
-        vdm = VDM(build_net("1"), make_schedule("learned_linear", -13.3, 13.3))
-        # params may have been donated by the failed warmup's first step
-        state, step_fn = warmup(vdm, "1", init_params())
+    # Fallback chain on OOM (and ONLY on OOM — any other error, e.g. a
+    # compile bug or shape error, must fail the bench): requested config ->
+    # 4-block set -> full remat. Each stage trades recompute for memory.
+    fallbacks = [m for m in ("blocks", "1") if m != remat_mode]
+    while True:
+        try:
+            state, step_fn = warmup(vdm, remat_mode, params)
+            break
+        except Exception as e:
+            if not fallbacks or not is_oom(e):
+                raise
+            import sys
+            nxt = fallbacks.pop(0)
+            print(f"[bench] remat={remat_mode} OOMed ({type(e).__name__}); "
+                  f"falling back to remat={nxt}", file=sys.stderr)
+            remat_mode = nxt
+            vdm = VDM(build_net(nxt), make_schedule("learned_linear", -13.3, 13.3))
+            # params may have been donated by the failed warmup's first step
+            params = init_params()
 
     # Median-of-K windows: the tunneled TPU slice's effective throughput
     # drifts by up to ~45% over hours (docs/DESIGN.md §6), so one window is
