@@ -39,6 +39,14 @@ _SPATIAL_CHARS = "DHW"
 #   "xla"    — lax.conv_general_dilated only (the correctness oracle);
 #   "taps"   — explicit per-tap shifted matmuls (kept for experiments).
 _CONV_IMPL = os.environ.get("VDM4CDM_CONV_IMPL", "auto")
+# Opt-in switch for the packed 1x1 lane_matmul kernel (VDM4CDM_LANEMM=1).
+# Default OFF: it removes the 805 MB carrier transposes XLA materializes
+# around the skip_proj matmul, but an interleaved A/B/A on hardware measured
+# it a ~1% net LOSS (5.297/5.302 vs 5.347 Mvox/s, spread 0.2-0.3% — the
+# block-diagonal MXU waste and kernel overheads cost more than the copies;
+# docs/DESIGN.md §7). Kept oracle-tested for the bandwidth-throttled eras,
+# where saved bytes should win.
+_LANEMM = os.environ.get("VDM4CDM_LANEMM", "0") == "1"
 
 # Circular padding strategy: "facefix" computes the zero-padded conv (XLA's
 # fast internal-padding path, no materialized copy, aligned shapes) and adds
@@ -311,11 +319,15 @@ def _conv_taps(x: jnp.ndarray, w: jnp.ndarray, pads) -> jnp.ndarray:
 # ----------------------------------------------------- packed-carrier entries
 
 
-def conv_packed(pk, w, b=None, padding_mode: str = "zeros"):
+def conv_packed(pk, w, b=None, padding_mode: str = "zeros",
+                ctx: ShardCtx = NO_SHARD):
     """conv_nd on a :class:`~vdm4cdm_tpu.ops.packed.Packed` carrier (stride 1,
     k in {1, 3}): k=3 runs the Pallas packed conv directly on the carrier
     (no reshape/relayout); k=1 is a single block-diagonal matmul on the
-    packed rows. Falls back to unpack -> conv_nd -> repack off-TPU."""
+    packed rows. Under spatial sharding (``ctx.axis``, sharded dim = z), k=3
+    halo-exchanges the packed plane axis and runs the packed z-halo kernel
+    (round-3: sharded packed carriers); k=1 is pointwise and needs no halo.
+    Falls back to unpack -> conv_nd -> repack off-TPU."""
     from .packed import Packed, pack, unpack
 
     assert isinstance(pk, Packed)
@@ -331,9 +343,24 @@ def conv_packed(pk, w, b=None, padding_mode: str = "zeros"):
         bd = jnp.zeros((p * cin, p * cout), pk.data.dtype)
         for j in range(p):
             bd = bd.at[j * cin:(j + 1) * cin, j * cout:(j + 1) * cout].set(w0)
-        out = pk.data @ bd
-        if b is not None:
-            out = out + jnp.tile(b.astype(out.dtype), p)
+        bias = (jnp.tile(b.astype(jnp.float32), p) if b is not None
+                else jnp.zeros((p * cout,), jnp.float32))
+        flat = pk.flat_rows()
+        if (
+            _LANEMM
+            and _CONV_IMPL in ("auto", "pallas")
+            and (_CONV_IMPL == "pallas" or jax.default_backend() == "tpu")
+        ):
+            # Streaming Pallas kernel: XLA lowers this matmul to a conv whose
+            # chosen layout TRANSPOSES the carrier (805 MB copies fwd + bwd
+            # at every decoder skip projection — HLO audit, DESIGN §7).
+            from .pallas.lanemm import lane_matmul, supports as _mm_ok
+
+            if _mm_ok(flat.shape, p * cin, p * cout, flat.dtype):
+                out = lane_matmul(flat, bd, bias)
+                return Packed(out.reshape(pk.data.shape[:-1] + (p * cout,)),
+                              pk.spatial, cout, p)
+        out = pk.data @ bd + bias.astype(pk.data.dtype)
         return Packed(out, pk.spatial, cout, p)
 
     if (
@@ -341,12 +368,26 @@ def conv_packed(pk, w, b=None, padding_mode: str = "zeros"):
         and _CONV_IMPL in ("auto", "pallas")
         and (_CONV_IMPL == "pallas" or jax.default_backend() == "tpu")
     ):
-        from .pallas.conv3d import conv3d_pallas_packed
+        from .pallas.conv3d import (
+            conv3d_pallas_packed,
+            conv3d_pallas_zhalo_packed,
+        )
 
-        out = conv3d_pallas_packed(pk.data, w, padding_mode, pk.spatial)
-        if b is not None:
-            out = out + jnp.tile(b.astype(out.dtype), p)
-        return Packed(out, pk.spatial, cout, p)
+        periodic = padding_mode == "circular"
+        if ctx.axis is not None and ctx.spatial_dim == 0:
+            # packed planes halo-exchange exactly like unpacked ones: the
+            # carrier's axis 1 IS the z-plane axis (packing is in-plane).
+            xh = halo_exchange(pk.data, ctx, 1, 1, periodic=periodic)
+            out = conv3d_pallas_zhalo_packed(xh, w, padding_mode, pk.spatial)
+            if b is not None:
+                out = out + jnp.tile(b.astype(out.dtype), p)
+            return Packed(out, pk.spatial, cout, p)
+        if ctx.axis is None:
+            out = conv3d_pallas_packed(pk.data, w, padding_mode, pk.spatial)
+            if b is not None:
+                out = out + jnp.tile(b.astype(out.dtype), p)
+            return Packed(out, pk.spatial, cout, p)
 
-    out = conv_nd(unpack(pk), w, b, stride=1, padding_mode=padding_mode)
+    out = conv_nd(unpack(pk), w, b, stride=1, padding_mode=padding_mode,
+                  ctx=ctx)
     return pack(out, p=p)
