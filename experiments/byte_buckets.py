@@ -55,7 +55,7 @@ def main():
 
     size, batch = 128, 2
     net = CUNet(
-        remat_blocks=("down_0_0", "down_0_1", "up_0_1", "up_0_2"),
+        remat_blocks=("down_0_0",),  # bench.py's default config
         shape=(1, size, size, size), chs=(32, 64, 128, 256),
         s_conditioning_channels=1, v_conditioning_dims=(6,), norm_groups=8,
         dropout_prob=0.1, conv_padding_mode="circular",

@@ -26,3 +26,35 @@ if os.environ.get("VDM4CDM_TEST_TPU", "0") != "1":
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# In TPU mode there is ONE real chip, so tests that build multi-device meshes
+# cannot run — convert make_mesh's "need N devices" ValueError into a skip
+# (wherever it surfaces: test body, function- or module-scoped fixture).
+import pluggy  # noqa: E402
+import pytest  # noqa: E402
+from _pytest.outcomes import Skipped  # noqa: E402
+
+
+def _skip_if_device_shortage(outcome):
+    seen, e = set(), outcome.excinfo[1]
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        if isinstance(e, ValueError) and "devices, have" in str(e):
+            outcome.force_exception(
+                Skipped(f"multi-device test on a single-device backend: {e}"))
+            return
+        e = e.__context__
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_setup(item):
+    outcome = yield
+    if outcome.excinfo is not None:
+        _skip_if_device_shortage(outcome)
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    outcome = yield
+    if outcome.excinfo is not None:
+        _skip_if_device_shortage(outcome)

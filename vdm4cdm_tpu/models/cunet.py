@@ -93,7 +93,8 @@ class _Conv(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         if packed:
             assert self.stride == 1
-            return conv_packed(x, w, b, padding_mode=self.padding_mode)
+            return conv_packed(x, w, b, padding_mode=self.padding_mode,
+                               ctx=self.ctx)
         if self.stride == 2:
             return downsample_conv(x, w, b, padding_mode=self.padding_mode, ctx=self.ctx)
         return conv_nd(x, w, b, stride=self.stride, padding_mode=self.padding_mode, ctx=self.ctx)
@@ -119,7 +120,7 @@ class _GroupNorm(nn.Module):
         if packed:
             return packed_group_norm_film(
                 x, scale, bias, film, self.groups, act=self.act,
-                dropout_p=dropout_p, dropout_rng=dropout_rng)
+                dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=self.ctx)
         if film is None and dropout_p == 0.0:
             return group_norm(x, scale, bias, self.groups, act=self.act,
                               ctx=self.ctx)
@@ -292,10 +293,13 @@ class CUNet(nn.Module):
         # packed form the Pallas kernels natively consume (ops/packed.py):
         # no 128-lane padding in HBM, no relayout copies around custom calls.
         packed_env = os.environ.get("VDM4CDM_PACKED", "auto")
+        # Sharded (`sp`) carriers ride the packed fast path too (round 3):
+        # the sharded dim must be z (= the carrier's plane axis 1); prep's
+        # block_packable gating evaluates the LOCAL spatial shapes.
         use_packed = (
             packed_env != "0"
             and (packed_env == "1" or jax.default_backend() == "tpu")
-            and ctx.axis is None
+            and (ctx.axis is None or ctx.spatial_dim == 0)
             and self.ndim_spatial == 3
         )
 

@@ -221,11 +221,14 @@ def packed_norm_affine_act(
     act: Optional[str] = None,
     dropout_p: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    ctx: ShardCtx = NO_SHARD,
 ):
     """norm_affine_act on a :class:`~vdm4cdm_tpu.ops.packed.Packed` carrier —
     the fused kernel runs directly on the packed rows (no reshape, no
-    relayout). Falls back to the XLA composition via unpack/repack when the
-    fused kernel is unavailable (CPU tests, interpret mode)."""
+    relayout). Under spatial sharding the packed CP entry psums the stats
+    over ``ctx.axis`` (round-3: sharded packed carriers). Falls back to the
+    XLA composition via unpack/repack when the fused kernel is unavailable
+    (CPU tests, interpret mode)."""
     from .packed import Packed, pack, unpack
 
     assert isinstance(pk, Packed)
@@ -233,8 +236,14 @@ def packed_norm_affine_act(
         raise ValueError(f"unknown act {act!r}")
     if dropout_p > 0.0 and dropout_rng is None:
         raise ValueError("dropout_p > 0 requires dropout_rng")
-    if _PALLAS_GN and jax.default_backend() == "tpu":
-        from .pallas.fused_norm import _tile_rows, fused_norm_affine_packed
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = not on_tpu
+    if _PALLAS_GN and (on_tpu or _PALLAS_GN_ENV == "force"):
+        from .pallas.fused_norm import (
+            _tile_rows,
+            fused_norm_affine_packed,
+            fused_norm_affine_packed_cp,
+        )
 
         flat = pk.flat_rows()
         sublane = 16 if flat.dtype == jnp.bfloat16 else 8
@@ -248,14 +257,21 @@ def packed_norm_affine_act(
                 if dropout_p > 0.0
                 else jnp.zeros((1,), jnp.int32)
             )
-            out = fused_norm_affine_packed(
-                flat, a.astype(jnp.float32), b.astype(jnp.float32), seed,
-                pk.channels, groups, eps, act, float(dropout_p))
+            if ctx.axis is not None:
+                out = fused_norm_affine_packed_cp(
+                    flat, a.astype(jnp.float32), b.astype(jnp.float32), seed,
+                    pk.channels, groups, eps, act, float(dropout_p),
+                    ctx.axis, interpret)
+            else:
+                out = fused_norm_affine_packed(
+                    flat, a.astype(jnp.float32), b.astype(jnp.float32), seed,
+                    pk.channels, groups, eps, act, float(dropout_p),
+                    interpret)
             return Packed(out.reshape(pk.data.shape), pk.spatial, pk.channels,
                           pk.p)
     out = norm_affine_act(
         unpack(pk), a, b, groups, eps=eps, act=act,
-        dropout_p=dropout_p, dropout_rng=dropout_rng)
+        dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=ctx)
     return pack(out, p=pk.p)
 
 
@@ -269,6 +285,7 @@ def packed_group_norm_film(
     act: Optional[str] = "silu",
     dropout_p: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    ctx: ShardCtx = NO_SHARD,
 ):
     """ResBlock epilogue on a Packed carrier; ``film`` is an optional
     (scale, shift) pair of (B, C) arrays."""
@@ -282,4 +299,4 @@ def packed_group_norm_film(
         b = b * one_fs + fsh.astype(jnp.float32)
     return packed_norm_affine_act(
         pk, a, b, groups, eps=eps, act=act,
-        dropout_p=dropout_p, dropout_rng=dropout_rng)
+        dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=ctx)

@@ -700,3 +700,53 @@ def _bwd_zh(padding_mode, res, ct):
 
 
 conv3d_pallas_zhalo.defvjp(_fwd_zh, _bwd_zh)
+
+
+# ------------------------------------- packed z-halo entry (sharded carriers)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3d_pallas_zhalo_packed(xq, w, padding_mode: str, spatial):
+    """:func:`conv3d_pallas_zhalo` on the PACKED carrier: xq (B, D+2, H*W/p,
+    p*Cin) whose first/last plane rows are the z halos (halo_exchange over
+    the packed data's plane axis 1 — packed planes exchange exactly like
+    unpacked ones, the in-plane packing is orthogonal to z). ``spatial`` is
+    the static OUTPUT (D, H, W). Returns (B, D, H*W/p, p*Cout). This is what
+    keeps the spatially sharded (`sp`) UNet on the packed fast path (round-3:
+    sharded packed carriers). Gate with ops.packed.conv_packable on the
+    LOCAL spatial."""
+    return _conv_pallas_raw_packed(xq, w.astype(xq.dtype), padding_mode,
+                                   spatial, zmode="halo")
+
+
+def _fwd_zh_packed(xq, w, padding_mode, spatial):
+    return conv3d_pallas_zhalo_packed(xq, w, padding_mode, spatial), (xq, w)
+
+
+def _bwd_zh_packed(padding_mode, spatial, res, ct):
+    xq, w = res
+    D, H, W = spatial
+    C, Cout = w.shape[3], w.shape[4]
+    p = xq.shape[-1] // C
+    B = xq.shape[0]
+    w_t = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    # dxq w.r.t. the HALOED input (D+2 planes): transpose of valid-in-z is
+    # full-in-z — pad ct by 2 zero planes each side, same valid-in-z kernel.
+    ct_pad = jnp.pad(ct.astype(xq.dtype),
+                     ((0, 0), (2, 2), (0, 0), (0, 0)))
+    if _transposed_ok(D + 2, H, W, C, Cout, xq.dtype.itemsize, p_override=p):
+        dxq = _conv_pallas_raw_packed(ct_pad, w_t.astype(xq.dtype),
+                                      padding_mode, (D + 2, H, W),
+                                      zmode="halo")
+    else:
+        ctf = ct_pad.reshape(B, D + 4, H, W, Cout)
+        dx = _conv_xla_fallback(ctf, w_t, padding_mode, z_same=False)
+        dxq = dx.reshape(B, D + 2, H * W // p, p * C)
+    x = xq.reshape(B, D + 2, H, W, C)
+    ctf = ct.reshape(B, D, H, W, Cout)
+    dw = _conv_pallas_dw(x, ctf, padding_mode, w.dtype, p_override=p,
+                         zmode="halo")
+    return dxq.astype(xq.dtype), dw
+
+
+conv3d_pallas_zhalo_packed.defvjp(_fwd_zh_packed, _bwd_zh_packed)

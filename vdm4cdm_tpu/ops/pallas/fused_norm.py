@@ -706,3 +706,77 @@ def _vjp_bwd_packed(C, groups, eps, act, dropout_p, interpret, res, ct):
 
 
 fused_norm_affine_packed.defvjp(_vjp_fwd_packed, _vjp_bwd_packed)
+
+
+# ------------------------------------- packed-carrier CP entry (sharded `sp`)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def fused_norm_affine_packed_cp(xq, a, b, seed, C: int, groups: int,
+                                eps: float, act: Optional[str],
+                                dropout_p: float, axis: Optional[str] = None,
+                                interpret: bool = False):
+    """:func:`fused_norm_affine_cp` on an ALREADY-PACKED carrier: xq (B, R,
+    p*C) per-shard flat rows, statistics ``psum``'d over ``axis`` — the
+    composition that keeps the spatially sharded (`sp`) UNet on the packed
+    fast path (round-3: sharded packed carriers). Same split stats/apply
+    kernels as the unpacked CP entry; only the boundary reshapes differ.
+    Must run inside ``shard_map`` when ``axis`` is set. Dropout seed
+    semantics match the CP entry (the per-tile kernel PRNG streams are a
+    function of LOCAL tile indices, so shards reuse mask patterns — the mask
+    is still marginally Bernoulli per voxel)."""
+    y, _ = _fwd_packed_cp(xq, a, b, seed, C, groups, eps, act, dropout_p,
+                          axis, interpret)
+    return y
+
+
+def _packed_count(xq, groups, axis):
+    count = float(xq.shape[1] * xq.shape[2] // groups)
+    if axis is not None:
+        count = count * jax.lax.axis_size(axis)
+    return count
+
+
+def _fwd_packed_cp(xq, a, b, seed, C, groups, eps, act, dropout_p, axis,
+                   interpret):
+    p = xq.shape[-1] // C
+    sums = _run_sums(xq, interpret)
+    if axis is not None:
+        sums = jax.lax.psum(sums, axis)
+    stats = _finalize_stats(sums, C, groups, eps,
+                            _packed_count(xq, groups, axis))
+    y = _run_apply(xq, stats, _tile_affine(a, p), _tile_affine(b, p), seed,
+                   act=act, dropout_p=dropout_p, interpret=interpret)
+    return y, (xq, a, b, stats, seed)
+
+
+def _vjp_fwd_packed_cp(xq, a, b, seed, C, groups, eps, act, dropout_p, axis,
+                       interpret):
+    return _fwd_packed_cp(xq, a, b, seed, C, groups, eps, act, dropout_p,
+                          axis, interpret)
+
+
+def _vjp_bwd_packed_cp(C, groups, eps, act, dropout_p, axis, interpret, res,
+                       ct):
+    xq, a, b, stats, seed = res
+    count = _packed_count(xq, groups, axis)
+    p = xq.shape[-1] // C
+    ctq = ct.astype(xq.dtype)
+    at = _tile_affine(a, p)
+    bt = _tile_affine(b, p)
+    sums = _run_bwd_sums(xq, ctq, stats, at, bt, seed,
+                         act=act, dropout_p=dropout_p, interpret=interpret)
+    gsums = jax.lax.psum(sums, axis) if axis is not None else sums
+    m = _group_means(gsums, at[:, 0, :], C, groups, count)
+    dxq = _run_bwd_apply(xq, ctq, stats, m, at, bt, seed,
+                         act=act, dropout_p=dropout_p, interpret=interpret)
+    # da/db from the LOCAL sums (see _vjp_bwd_cp: the mesh pmean averages the
+    # per-shard partials exactly as for every other parameter).
+    B = xq.shape[0]
+    folded = sums.reshape(B, 2, p, C).sum(axis=2)
+    db = folded[:, 0].astype(a.dtype)
+    da = folded[:, 1].astype(a.dtype)
+    return dxq, da, db, None
+
+
+fused_norm_affine_packed_cp.defvjp(_vjp_fwd_packed_cp, _vjp_bwd_packed_cp)
