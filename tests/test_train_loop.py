@@ -156,6 +156,37 @@ class TestConfigAndPresets:
         cfg = preset("VDM_Go7_Mcdm_c_c_128")
         assert cfg.data.in_field == "Go7"
 
+    def test_models_yaml_covers_all_blessed_models(self):
+        """configs/models.yaml mirrors the reference registry one-to-one
+        (reference configs.yaml:1-217: 12 named trained models) and every
+        entry resolves to a buildable preset with the reference's widths."""
+        import yaml
+
+        reg = yaml.safe_load(
+            open(os.path.join(os.path.dirname(__file__), "..",
+                              "configs", "models.yaml")))
+        blessed = {
+            "VDM_Go7_Mcdm_c_c_128", "VDM_Go8_Mcdm_c_c_128",
+            "VDM_Go9_Mcdm_c_c_128", "VDM_Mstar_Mcdm_c_c_128",
+            "VDM_Mstar_Mcdm_c_c_160", "VDM_Mstar_Mcdm_c_c_192",
+            "VDM_Mstar_Mcdm_c_c_224", "VDM_Mstar_Mcdm_c_c_256",
+            "VDM_Mstar_Mcdm_c_c_256_comp", "VDM_Mstar_Mcdm_c_uc_256",
+            "SFM_Mstar_Mcdm_c_c_128", "SFM_Mstar_Mcdm_c_c_256",
+        }
+        assert blessed <= set(reg), sorted(blessed - set(reg))
+        for name in blessed:
+            entry = reg[name]
+            cfg = preset(entry["preset"])
+            assert entry["ckpt_step"] > 0
+            size = int(name.rsplit("_", 1)[-1].removesuffix("comp").rstrip("_")
+                       or name.rsplit("_", 2)[-2])
+            assert cfg.data.cropsize == size, (name, cfg.data.cropsize)
+            # thin widths at native/224 resolution, mid widths below
+            # (reference trainVDM3D_c_c...:60 vs configs.yaml:115-137)
+            want = [16, 32, 64, 128] if size >= 224 else [32, 64, 128, 256]
+            assert list(cfg.model.chs) == want, (name, cfg.model.chs)
+            assert cfg.model.family == name.split("_")[0].lower()
+
     def test_yaml_roundtrip(self, tmp_path):
         cfg = preset("trainVDM3D128_c_c")
         p = str(tmp_path / "c.yaml")
