@@ -20,6 +20,11 @@ import jax  # noqa: E402
 # TPU-hardware-only tests, e.g. the fused-norm in-kernel PRNG dropout).
 if os.environ.get("VDM4CDM_TEST_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
+else:
+    # On TPU, XLA lowers f32 matmuls/convs to bf16 passes by default while
+    # the Pallas kernels accumulate true f32 — oracle comparisons at f32
+    # tolerances need full-precision XLA matmuls to be meaningful.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent XLA compilation cache: CPU compiles of the UNet graphs dominate
 # test wall time; cache them across pytest runs.

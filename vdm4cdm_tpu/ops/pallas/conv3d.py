@@ -309,16 +309,24 @@ def _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode="wrap"):
 
 
 def _edge_operands_dz(slots_ref, sl, *, O, Wp, p, C, rows, zeros):
-    """The (rows, 3C) cross-row edge operands for one input plane (ring slot
-    ``sl``), as SSA VALUES: for each dy, slot j=0's w-1 voxel (previous row,
-    last lane block) and slot j=p-1's w+1 voxel (next row, first block), with
-    the helical w-wrap fixed by a masked select +-Wp rows away (zeroed for
-    zeros padding). Chunked per dz (round 3; was one (rows, 9C) scratch
+    """The cross-row edge operands for one input plane (ring slot ``sl``), as
+    SSA VALUES, one (rows, C) part per dy: slot j=0's w-1 voxel (previous
+    row, last lane block) and slot j=p-1's w+1 voxel (next row, first block),
+    with the helical w-wrap fixed by a masked select +-Wp rows away (zeroed
+    for zeros padding). Chunked per dz (round 3; was one (rows, 9C) scratch
     batch): the 9C scratch overflowed the VMEM budget at the decoder's concat
     widths (cin 64-96 at 128^3), silently dropping the whole decoder off the
     fast path (HLO byte audit, DESIGN §7) — and the scratch-reuse rewrite of
     the per-dz chunks miscompiled on Mosaic (fill -> GEMM -> overwrite per
-    chunk), so the operands are built as values instead."""
+    chunk), so the operands are built as values instead. The parts are
+    returned UNCONCATENATED: when Wp is not 8-aligned the per-dy slices start
+    at different sublane offsets (bases O ± Wp, shifted ± 1 row) and Mosaic's
+    tpu.concatenate rejects operands with mismatched non-concat-dim offsets
+    ("result/input offset mismatch", real-TPU compile at small shapes —
+    interpret mode tolerates it). The consumers concat + single-GEMM when
+    Wp % 8 == 0 (equal offsets; K=3C keeps the MXU fed — the per-part K=C
+    variant measured a 9% flagship step regression) and fall back to
+    per-part GEMMs otherwise."""
     lanes_last = slice((p - 1) * C, p * C)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 0) % Wp
     lo_parts, hi_parts = [], []
@@ -343,8 +351,7 @@ def _edge_operands_dz(slots_ref, sl, *, O, Wp, p, C, rows, zeros):
                 slots_ref[sl, base + 1 - Wp:base + rows + 1 - Wp, 0:C],
                 hi)
         hi_parts.append(hi)
-    return (jnp.concatenate(lo_parts, axis=1),
-            jnp.concatenate(hi_parts, axis=1))
+    return lo_parts, hi_parts
 
 
 def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
@@ -365,14 +372,21 @@ def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
                 elo, ehi = _edge_operands_dz(
                     slots_ref, sl, O=O, Wp=Wp, p=p, C=C, rows=rows,
                     zeros=zeros)
-                acc_ref[:, 0:Cout] += jax.lax.dot_general(
-                    elo, wlo_ref[_dz * 3 * C:(_dz + 1) * 3 * C, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc_ref[:, (p - 1) * Cout:p * Cout] += jax.lax.dot_general(
-                    ehi, whi_ref[_dz * 3 * C:(_dz + 1) * 3 * C, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                if Wp % 8 == 0:  # equal sublane offsets: one K=3C GEMM
+                    elo = [jnp.concatenate(elo, axis=1)]
+                    ehi = [jnp.concatenate(ehi, axis=1)]
+                kc = 3 * C if Wp % 8 == 0 else C
+                for dyi in range(len(elo)):
+                    k = _dz * 3 * C + dyi * kc
+                    acc_ref[:, 0:Cout] += jax.lax.dot_general(
+                        elo[dyi], wlo_ref[k:k + kc, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc_ref[:, (p - 1) * Cout:p * Cout] += (
+                        jax.lax.dot_general(
+                            ehi[dyi], whi_ref[k:k + kc, :],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
                 for dyi in range(3):
                     base = O + (dyi - 1) * Wp
                     acc_ref[:, :] += jax.lax.dot_general(
@@ -420,16 +434,20 @@ def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref,
                         slots_ref[sl, base:base + rows, :], ct,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                acclo_ref[_dz * 3 * C:(_dz + 1) * 3 * C, :] += (
-                    jax.lax.dot_general(
-                        elo, ct[:, 0:Cout],
+                if Wp % 8 == 0:  # equal sublane offsets: one M=3C GEMM
+                    elo = [jnp.concatenate(elo, axis=1)]
+                    ehi = [jnp.concatenate(ehi, axis=1)]
+                kc = 3 * C if Wp % 8 == 0 else C
+                for dyi in range(len(elo)):
+                    k = _dz * 3 * C + dyi * kc
+                    acclo_ref[k:k + kc, :] += jax.lax.dot_general(
+                        elo[dyi], ct[:, 0:Cout],
                         dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32))
-                acchi_ref[_dz * 3 * C:(_dz + 1) * 3 * C, :] += (
-                    jax.lax.dot_general(
-                        ehi, ct[:, (p - 1) * Cout:p * Cout],
+                        preferred_element_type=jnp.float32)
+                    acchi_ref[k:k + kc, :] += jax.lax.dot_general(
+                        ehi[dyi], ct[:, (p - 1) * Cout:p * Cout],
                         dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32))
+                        preferred_element_type=jnp.float32)
 
             if pred is None:
                 chunk()
