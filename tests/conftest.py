@@ -28,7 +28,8 @@ else:
 
 # Persistent XLA compilation cache: CPU compiles of the UNet graphs dominate
 # test wall time; cache them across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("VDM4CDM_TEST_CACHE", "/tmp/jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -63,3 +64,23 @@ def pytest_runtest_call(item):
     outcome = yield
     if outcome.excinfo is not None:
         _skip_if_device_shortage(outcome)
+
+
+# The Pallas TPU-interpret simulator keeps a module-global SharedMemory whose
+# cleanup runs via ASYNC io_callbacks at program end. When one test's cleanup
+# straggles into the next test's interpret program, _initialize_shared_memory
+# sees a non-None registry and REUSES it — with a stale barrier party count,
+# which deadlocks `shared_memory.barrier.wait()` (observed: full-suite hangs
+# at the first sharded interpret test on a 1-CPU box; the same test passes
+# standalone). Drain effects and clear the registry after every test.
+@pytest.fixture(autouse=True)
+def _reset_pallas_interpret_state():
+    yield
+    try:
+        jax.effects_barrier()
+        from jax._src.pallas.mosaic.interpret import (
+            interpret_pallas_call as _ipc,
+        )
+        _ipc._clear_shared_memory()
+    except Exception:
+        pass

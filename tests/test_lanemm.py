@@ -3,11 +3,18 @@ interpret mode (no TPU). The kernel exists to avoid XLA's 805 MB carrier
 transposes at decoder skip projections (docs/DESIGN.md §7); these tests pin
 fwd + all three gradients and the conv_packed k=1 routing."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
+
+# See test_pallas_conv3d.py: interpret-mode oracle tests stay on CPU.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("VDM4CDM_TEST_TPU") == "1",
+    reason="interpret-mode oracle test (CPU)")
 
 import vdm4cdm_tpu.ops.conv as convmod
 from vdm4cdm_tpu.ops.conv import conv_nd, conv_packed

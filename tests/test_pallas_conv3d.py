@@ -1,11 +1,22 @@
 """Pallas im2col conv3d vs the XLA oracle (ops.conv.conv_nd) — forward and
 both gradients, circular and zeros padding, on the interpreter (no TPU)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
+
+# Interpret-mode oracle tests are CPU tests: on the TPU backend the
+# interpreted kernel lowers to a pathological XLA graph whose remote compile
+# never finishes (and a wedged compile blocks the tunneled device for every
+# other process). Real-hardware kernel coverage comes from the real-path
+# tests (test_packed CUNet, fused-norm dropout) and experiments' probes.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("VDM4CDM_TEST_TPU") == "1",
+    reason="interpret-mode oracle test (CPU); see module docstring")
 
 from vdm4cdm_tpu.ops.conv import conv_nd
 from vdm4cdm_tpu.ops.pallas.conv3d import (
