@@ -45,10 +45,12 @@ from ..ops.norm import (
 )
 from ..ops.packed import (
     Packed,
+    PackedPair,
     block_pack_factor,
     block_packable,
     pack,
     pack_concat,
+    pair_packable,
     unpack,
 )
 from ..ops.resample import downsample_conv, upsample_nearest
@@ -84,7 +86,7 @@ class _Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        packed = isinstance(x, Packed)
+        packed = isinstance(x, (Packed, PackedPair))
         nd = 3 if packed else x.ndim - 2
         cin = x.channels if packed else x.shape[-1]
         kshape = (self.kernel_size,) * nd + (cin, self.features)
@@ -113,7 +115,7 @@ class _GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, film=None, dropout_p: float = 0.0, dropout_rng=None):
-        packed = isinstance(x, Packed)
+        packed = isinstance(x, (Packed, PackedPair))
         c = x.channels if packed else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -164,9 +166,13 @@ class ResBlock(nn.Module):
             h, film=film, dropout_p=p, dropout_rng=rng)
         h = _Conv(self.features, 3, padding_mode=self.padding_mode, ctx=self.ctx, zero_init=True)(h)
 
-        if isinstance(x, Packed):
+        if isinstance(x, (Packed, PackedPair)):
             if x.channels != self.features:
+                # pair-aware: skip_proj splits its 1x1 weights over the two
+                # carriers (conv_packed), collapsing the pair to a Packed
                 x = _Conv(self.features, 1, ctx=self.ctx, name="skip_proj")(x)
+            elif isinstance(x, PackedPair):
+                x = x.materialize()
             return Packed(x.data + h.data, h.spatial, h.channels, h.p)
         if x.shape[-1] != self.features:
             x = _Conv(self.features, 1, ctx=self.ctx, name="skip_proj")(x)
@@ -302,8 +308,13 @@ class CUNet(nn.Module):
             and (ctx.axis is None or ctx.spatial_dim == 0)
             and self.ndim_spatial == 3
         )
+        # Lazy skip concats (PackedPair): default ON with packed carriers;
+        # VDM4CDM_PAIR=0 restores the materialized pack_concat for A/B.
+        use_pair = use_packed and os.environ.get("VDM4CDM_PAIR", "1") != "0"
 
         def _arr(h):
+            if isinstance(h, PackedPair):
+                h = h.materialize()
             return unpack(h) if isinstance(h, Packed) else h
 
         def prep(h, feat):
@@ -311,9 +322,16 @@ class CUNet(nn.Module):
             can run on the carrier; otherwise hand it over unpacked. The pack
             factor must suit BOTH C and feat (block_pack_factor); a carrier
             arriving with an unsuitable p is repacked — a free reshape chain,
-            both packed forms are dense row-major views of the same order."""
+            both packed forms are dense row-major views of the same order.
+            A PackedPair (lazy skip concat) passes through untouched when the
+            pair path supports the block; otherwise it materializes here."""
             if not use_packed:
                 return _arr(h)
+            if isinstance(h, PackedPair):
+                if pair_packable(h.spatial, h.a.channels, h.b.channels, feat,
+                                 h.p, self.compute_dtype):
+                    return h
+                h = h.materialize()
             if isinstance(h, Packed):
                 sp, c = h.spatial, h.channels
                 if block_packable(sp, c, feat, h.p, self.compute_dtype):
@@ -330,8 +348,13 @@ class CUNet(nn.Module):
             """Channel-concat h with a skip for an upcoming ResBlock(-> feat).
             When the joined block can run packed, both operands are (re)packed
             at the block's joint pack factor — free reshapes on dense
-            carriers — and joined lane-dense (ops.packed.pack_concat), so the
-            decoder never materializes a lane-padded concat intermediate."""
+            carriers — and the join stays LAZY (ops.packed.PackedPair): the
+            block's GN computes joint statistics over the two carriers and
+            its convs split their weights, so the concat intermediate — which
+            XLA lowers through ~805 MB lane-pad/copy chains per full-res site
+            (HLO audit, docs/DESIGN.md §7) — is never written. Falls back to
+            the materialized lane-dense pack_concat when the pair path can't
+            host the block, then to a plain XLA concat."""
             hc = h.channels if isinstance(h, Packed) else h.shape[-1]
             sc = s.channels if isinstance(s, Packed) else s.shape[-1]
             if use_packed:
@@ -346,6 +369,9 @@ class CUNet(nn.Module):
                         else pack(_arr(h), p)
                     spk = s if isinstance(s, Packed) and s.p == p \
                         else pack(_arr(s), p)
+                    if use_pair and pair_packable(sp, hc, sc, feat, p,
+                                                  self.compute_dtype):
+                        return PackedPair(hp, spk)
                     return pack_concat(hp, spk)
             return jnp.concatenate([_arr(h), _arr(s)], axis=-1)
 

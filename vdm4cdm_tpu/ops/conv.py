@@ -327,8 +327,23 @@ def conv_packed(pk, w, b=None, padding_mode: str = "zeros",
     packed rows. Under spatial sharding (``ctx.axis``, sharded dim = z), k=3
     halo-exchanges the packed plane axis and runs the packed z-halo kernel
     (round-3: sharded packed carriers); k=1 is pointwise and needs no halo.
-    Falls back to unpack -> conv_nd -> repack off-TPU."""
-    from .packed import Packed, pack, unpack
+    Falls back to unpack -> conv_nd -> repack off-TPU.
+
+    A :class:`~vdm4cdm_tpu.ops.packed.PackedPair` (lazy concat) splits the
+    kernel along its input channels — conv(concat(h, s), W) = conv(h, W_h) +
+    conv(s, W_s) — so the joined tensor is never written (round-3:
+    concat-free decoder). Same bytes read; the pair collapses to a single
+    Packed here."""
+    from .packed import Packed, PackedPair, pack, unpack
+
+    if isinstance(pk, PackedPair):
+        ca = pk.a.channels
+        assert w.shape[-2] == pk.channels, (w.shape, pk.channels)
+        ya = conv_packed(pk.a, w[..., :ca, :], b, padding_mode=padding_mode,
+                         ctx=ctx)
+        yb = conv_packed(pk.b, w[..., ca:, :], None,
+                         padding_mode=padding_mode, ctx=ctx)
+        return Packed(ya.data + yb.data, ya.spatial, ya.channels, ya.p)
 
     assert isinstance(pk, Packed)
     nd = 3

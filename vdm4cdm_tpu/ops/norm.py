@@ -226,18 +226,57 @@ def packed_norm_affine_act(
     """norm_affine_act on a :class:`~vdm4cdm_tpu.ops.packed.Packed` carrier —
     the fused kernel runs directly on the packed rows (no reshape, no
     relayout). Under spatial sharding the packed CP entry psums the stats
-    over ``ctx.axis`` (round-3: sharded packed carriers). Falls back to the
-    XLA composition via unpack/repack when the fused kernel is unavailable
-    (CPU tests, interpret mode)."""
-    from .packed import Packed, pack, unpack
+    over ``ctx.axis`` (round-3: sharded packed carriers). A
+    :class:`~vdm4cdm_tpu.ops.packed.PackedPair` (lazy concat) normalizes with
+    JOINT group statistics over the two carriers and stays a pair — the
+    decoder's skip join never materializes (round-3: concat-free decoder).
+    Falls back to the XLA composition via unpack/repack when the fused kernel
+    is unavailable (CPU tests, interpret mode)."""
+    from .packed import Packed, PackedPair, pack, unpack
 
-    assert isinstance(pk, Packed)
     if act not in (None, "silu"):
         raise ValueError(f"unknown act {act!r}")
     if dropout_p > 0.0 and dropout_rng is None:
         raise ValueError("dropout_p > 0 requires dropout_rng")
     on_tpu = jax.default_backend() == "tpu"
     interpret = not on_tpu
+
+    if isinstance(pk, PackedPair):
+        if _PALLAS_GN and (on_tpu or _PALLAS_GN_ENV == "force"):
+            from .pallas.fused_norm import (
+                _tile_rows,
+                fused_norm_affine_packed2,
+            )
+
+            fa, fb = pk.a.flat_rows(), pk.b.flat_rows()
+            sublane = 16 if fa.dtype == jnp.bfloat16 else 8
+            ok = (
+                fa.shape[-1] % 128 == 0 and fb.shape[-1] % 128 == 0
+                and pk.channels % groups == 0
+                and _tile_rows(fa.shape[1], sublane, fa.shape[2]) is not None
+                and _tile_rows(fb.shape[1], sublane, fb.shape[2]) is not None
+            )
+            if ok:
+                seed = (
+                    _seed_from_key(dropout_rng)
+                    if dropout_p > 0.0
+                    else jnp.zeros((1,), jnp.int32)
+                )
+                ya, yb = fused_norm_affine_packed2(
+                    fa, fb, a.astype(jnp.float32), b.astype(jnp.float32),
+                    seed, pk.a.channels, pk.b.channels, groups, eps, act,
+                    float(dropout_p), ctx.axis, interpret)
+                return PackedPair(
+                    Packed(ya.reshape(pk.a.data.shape), pk.a.spatial,
+                           pk.a.channels, pk.a.p),
+                    Packed(yb.reshape(pk.b.data.shape), pk.b.spatial,
+                           pk.b.channels, pk.b.p),
+                )
+        return packed_norm_affine_act(
+            pk.materialize(), a, b, groups, eps=eps, act=act,
+            dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=ctx)
+
+    assert isinstance(pk, Packed)
     if _PALLAS_GN and (on_tpu or _PALLAS_GN_ENV == "force"):
         from .pallas.fused_norm import (
             _tile_rows,
@@ -287,9 +326,9 @@ def packed_group_norm_film(
     dropout_rng: Optional[jax.Array] = None,
     ctx: ShardCtx = NO_SHARD,
 ):
-    """ResBlock epilogue on a Packed carrier; ``film`` is an optional
-    (scale, shift) pair of (B, C) arrays."""
-    bsz, c = pk.data.shape[0], pk.channels
+    """ResBlock epilogue on a Packed carrier (or a PackedPair lazy concat);
+    ``film`` is an optional (scale, shift) pair of (B, C) arrays."""
+    bsz, c = pk.batch, pk.channels
     a = jnp.broadcast_to(scale.astype(jnp.float32)[None], (bsz, c))
     b = jnp.broadcast_to(bias.astype(jnp.float32)[None], (bsz, c))
     if film is not None:

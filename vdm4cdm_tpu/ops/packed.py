@@ -104,6 +104,68 @@ def pack_concat(a: Packed, b: Packed) -> Packed:
     return Packed(out.reshape(B, D, R, a.p * c), a.spatial, c, a.p)
 
 
+@struct.dataclass
+class PackedPair:
+    """A LAZY channel-concat of two carriers at the same pack factor.
+
+    Stands in for ``pack(concat(unpack(a), unpack(b)), p)`` without ever
+    materializing the join. Why: the materialized pack_concat lowers through
+    a 5D channels-minor view whose minor dim is below 128 lanes, so XLA
+    physically lane-pads and re-copies it — the HLO byte audit showed ~805 MB
+    pad/copy chains at every full-resolution decoder skip join (~25-30
+    GB/step; docs/ROADMAP.md round-3 item 1b). Consumers split instead:
+
+      * GroupNorm: joint group statistics from per-carrier lane sums via
+        lane->joint-group fold matrices (fused_norm_affine_packed2) — exactly
+        the CP split-kernel pattern with concat in place of psum;
+      * conv (k1/k3): split weights, conv(concat(h,s), W) = conv(h, W_h) +
+        conv(s, W_s) — same bytes read, no joined intermediate written.
+
+    The pair therefore flows from the decoder's ``skip_concat`` through GN ->
+    conv / skip_proj and collapses to a single ``Packed`` at the first conv.
+    """
+
+    a: Packed
+    b: Packed
+
+    @property
+    def channels(self) -> int:
+        return self.a.channels + self.b.channels
+
+    @property
+    def spatial(self) -> Tuple[int, int, int]:
+        return self.a.spatial
+
+    @property
+    def p(self) -> int:
+        return self.a.p
+
+    @property
+    def batch(self) -> int:
+        return self.a.batch
+
+    def materialize(self) -> Packed:
+        return pack_concat(self.a, self.b)
+
+
+def pair_packable(spatial, ca: int, cb: int, feat: int, p: int,
+                  dtype) -> bool:
+    """Can a decoder ResBlock consume a PackedPair(ca, cb) -> feat at pack
+    factor p without ever materializing the concat? Requires the joint block
+    to be packable (the pair collapses to Packed(feat) after the first conv)
+    plus, per half: tileable GN rows and a supported split conv."""
+    if p is None:
+        return False
+    if not block_packable(spatial, ca + cb, feat, p, dtype):
+        return False
+    return (
+        norm_packable(spatial, ca, p, 0, dtype)
+        and norm_packable(spatial, cb, p, 0, dtype)
+        and conv_packable(spatial, ca, feat, p, dtype)
+        and conv_packable(spatial, cb, feat, p, dtype)
+    )
+
+
 def conv_packable(spatial, cin: int, cout: int, p: int, dtype) -> bool:
     from .pallas import conv3d as _c3
 

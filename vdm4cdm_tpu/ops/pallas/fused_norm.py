@@ -780,3 +780,138 @@ def _vjp_bwd_packed_cp(C, groups, eps, act, dropout_p, axis, interpret, res,
 
 
 fused_norm_affine_packed_cp.defvjp(_vjp_fwd_packed_cp, _vjp_bwd_packed_cp)
+
+
+# ------------------------------------- two-carrier entry (lazy concat, pairs)
+#
+# GroupNorm over the VIRTUAL concat of two packed carriers (ops.packed
+# .PackedPair) without materializing the join: per-carrier lane sums from the
+# same split stats/apply kernels, folded through lane -> JOINT-group
+# indicator matrices (the carrier's channels occupy [offset, offset+C) of the
+# joint channel space — groups may straddle the carrier boundary). This is
+# exactly the CP pattern with "concat the two carriers' channel sums" where
+# CP has "psum the shards' sums"; both compose (``axis``). HBM traffic equals
+# the monolith on the materialized concat — minus the concat itself.
+
+
+def _fold_matrix_at(pC: int, C: int, offset: int, C_joint: int, groups: int):
+    """Host-side (pC, G) lane -> joint-group indicator for a carrier whose
+    channels sit at [offset, offset+C) of the joint C_joint channels."""
+    lanes = np.arange(pC)
+    gid = ((lanes % C) + offset) // (C_joint // groups)
+    return jnp.asarray(gid[:, None] == np.arange(groups)[None, :], jnp.float32)
+
+
+def _pair_seed(seed):
+    # a second dropout-site seed for carrier b: same avalanche family as
+    # norm._seed_from_key, so the two carriers' in-kernel PRNG streams are
+    # decorrelated even though their (batch, tile) counters overlap.
+    return jax.lax.bitcast_convert_type(
+        (jax.lax.bitcast_convert_type(seed, jnp.uint32) ^ jnp.uint32(0x9E3779B9))
+        * jnp.uint32(0x85EBCA6B), jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def fused_norm_affine_packed2(xa, xb, a, b, seed, Ca: int, Cb: int,
+                              groups: int, eps: float, act: Optional[str],
+                              dropout_p: float, axis: Optional[str] = None,
+                              interpret: bool = False):
+    """GroupNorm+affine+act+dropout over concat(xa, xb) channels, computed on
+    the two packed carriers separately (no materialized concat). xa: (B, Ra,
+    p*Ca) flat rows, xb: (B, Rb, p*Cb) at the same p; a, b: (B, Ca+Cb) joint
+    affines (channel order = concat order). Returns (ya, yb) — the normalized
+    halves, still separate. ``axis`` additionally psums statistics over a
+    mesh axis (sharded `sp` decoder)."""
+    (ya, yb), _ = _fwd_packed2(xa, xb, a, b, seed, Ca, Cb, groups, eps, act,
+                               dropout_p, axis, interpret)
+    return ya, yb
+
+
+def _pair_count(xa, xb, groups, axis):
+    count = float((xa.shape[1] * xa.shape[2] + xb.shape[1] * xb.shape[2])
+                  // groups)
+    if axis is not None:
+        count = count * jax.lax.axis_size(axis)
+    return count
+
+
+def _fwd_packed2(xa, xb, a, b, seed, Ca, Cb, groups, eps, act, dropout_p,
+                 axis, interpret):
+    p = xa.shape[-1] // Ca
+    assert xb.shape[-1] == p * Cb, (xa.shape, xb.shape, Ca, Cb)
+    C = Ca + Cb
+    sums_a = _run_sums(xa, interpret)
+    sums_b = _run_sums(xb, interpret)
+    if axis is not None:
+        sums_a = jax.lax.psum(sums_a, axis)
+        sums_b = jax.lax.psum(sums_b, axis)
+    fold_a = _fold_matrix_at(p * Ca, Ca, 0, C, groups)
+    fold_b = _fold_matrix_at(p * Cb, Cb, Ca, C, groups)
+    count = _pair_count(xa, xb, groups, axis)
+    s1g = sums_a[:, 0] @ fold_a + sums_b[:, 0] @ fold_b
+    s2g = sums_a[:, 1] @ fold_a + sums_b[:, 1] @ fold_b
+    mean_g = s1g / count
+    var_g = s2g / count - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    stats_a = jnp.stack([mean_g @ fold_a.T, inv_g @ fold_a.T], axis=1)
+    stats_b = jnp.stack([mean_g @ fold_b.T, inv_g @ fold_b.T], axis=1)
+    seed_b = _pair_seed(seed)
+    ya = _run_apply(xa, stats_a, _tile_affine(a[:, :Ca], p),
+                    _tile_affine(b[:, :Ca], p), seed,
+                    act=act, dropout_p=dropout_p, interpret=interpret)
+    yb = _run_apply(xb, stats_b, _tile_affine(a[:, Ca:], p),
+                    _tile_affine(b[:, Ca:], p), seed_b,
+                    act=act, dropout_p=dropout_p, interpret=interpret)
+    return (ya, yb), (xa, xb, a, b, stats_a, stats_b, seed)
+
+
+def _vjp_fwd_packed2(xa, xb, a, b, seed, Ca, Cb, groups, eps, act, dropout_p,
+                     axis, interpret):
+    return _fwd_packed2(xa, xb, a, b, seed, Ca, Cb, groups, eps, act,
+                        dropout_p, axis, interpret)
+
+
+def _vjp_bwd_packed2(Ca, Cb, groups, eps, act, dropout_p, axis, interpret,
+                     res, ct):
+    xa, xb, a, b, stats_a, stats_b, seed = res
+    cta, ctb = ct
+    p = xa.shape[-1] // Ca
+    C = Ca + Cb
+    count = _pair_count(xa, xb, groups, axis)
+    at_a = _tile_affine(a[:, :Ca], p)
+    bt_a = _tile_affine(b[:, :Ca], p)
+    at_b = _tile_affine(a[:, Ca:], p)
+    bt_b = _tile_affine(b[:, Ca:], p)
+    seed_b = _pair_seed(seed)
+    sums_a = _run_bwd_sums(xa, cta.astype(xa.dtype), stats_a, at_a, bt_a,
+                           seed, act=act, dropout_p=dropout_p,
+                           interpret=interpret)
+    sums_b = _run_bwd_sums(xb, ctb.astype(xb.dtype), stats_b, at_b, bt_b,
+                           seed_b, act=act, dropout_p=dropout_p,
+                           interpret=interpret)
+    gs_a = jax.lax.psum(sums_a, axis) if axis is not None else sums_a
+    gs_b = jax.lax.psum(sums_b, axis) if axis is not None else sums_b
+    fold_a = _fold_matrix_at(p * Ca, Ca, 0, C, groups)
+    fold_b = _fold_matrix_at(p * Cb, Cb, Ca, C, groups)
+    m1g = ((gs_a[:, 0] * at_a[:, 0, :]) @ fold_a
+           + (gs_b[:, 0] * at_b[:, 0, :]) @ fold_b) / count
+    m2g = ((gs_a[:, 1] * at_a[:, 0, :]) @ fold_a
+           + (gs_b[:, 1] * at_b[:, 0, :]) @ fold_b) / count
+    m_a = jnp.stack([m1g @ fold_a.T, m2g @ fold_a.T], axis=1)
+    m_b = jnp.stack([m1g @ fold_b.T, m2g @ fold_b.T], axis=1)
+    dxa = _run_bwd_apply(xa, cta.astype(xa.dtype), stats_a, m_a, at_a, bt_a,
+                         seed, act=act, dropout_p=dropout_p,
+                         interpret=interpret)
+    dxb = _run_bwd_apply(xb, ctb.astype(xb.dtype), stats_b, m_b, at_b, bt_b,
+                         seed_b, act=act, dropout_p=dropout_p,
+                         interpret=interpret)
+    # da/db from LOCAL sums (see _vjp_bwd_cp for the mesh-pmean argument)
+    B = xa.shape[0]
+    fa = sums_a.reshape(B, 2, p, Ca).sum(axis=2)
+    fb = sums_b.reshape(B, 2, p, Cb).sum(axis=2)
+    db = jnp.concatenate([fa[:, 0], fb[:, 0]], axis=-1).astype(a.dtype)
+    da = jnp.concatenate([fa[:, 1], fb[:, 1]], axis=-1).astype(a.dtype)
+    return dxa, dxb, da, db, None
+
+
+fused_norm_affine_packed2.defvjp(_vjp_fwd_packed2, _vjp_bwd_packed2)
