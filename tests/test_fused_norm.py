@@ -191,3 +191,118 @@ def test_supports_gating():
     assert supports((2, 16, 16, 48), jnp.float32)       # p=8 -> 384 lanes
     assert not supports((2, 16, 16, 3), jnp.float32)    # no pack factor
     assert not supports((2, 5, 1), jnp.float32)         # rows not tileable
+
+
+@interpret_oracle
+@pytest.mark.parametrize("act", [None, "silu"])
+def test_ext_sums_matches_monolith(act):
+    """External-stats entry (conv-emitted GN statistics): given the SAME
+    per-lane sums the stats sweep would compute, the ext entry reproduces the
+    monolith exactly — forward and gradients — and gives the sums a zero
+    cotangent (the conv kernel's bwd relies on that contract)."""
+    from vdm4cdm_tpu.ops.pallas.fused_norm import (
+        _run_sums,
+        fused_norm_affine_packed,
+        fused_norm_affine_packed_ext,
+    )
+
+    C, p, groups = 32, 4, 8
+    xq = jax.random.normal(jax.random.PRNGKey(7), (2, 64, p * C), jnp.float32)
+    a, b = _affine(jax.random.PRNGKey(8), 2, C)
+    sums = _run_sums(xq, True)
+
+    ref = fused_norm_affine_packed(xq, a, b, ZERO_SEED, C, groups, 1e-6, act,
+                                   0.0, True)
+    got = fused_norm_affine_packed_ext(xq, a, b, ZERO_SEED, sums, C, groups,
+                                       1e-6, act, 0.0, None, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    ct = jax.random.normal(jax.random.PRNGKey(9), xq.shape, jnp.float32)
+
+    def loss_ref(xq, a, b):
+        y = fused_norm_affine_packed(xq, a, b, ZERO_SEED, C, groups, 1e-6,
+                                     act, 0.0, True)
+        return jnp.sum(y * ct)
+
+    def loss_ext(xq, a, b, sums):
+        y = fused_norm_affine_packed_ext(xq, a, b, ZERO_SEED, sums, C, groups,
+                                         1e-6, act, 0.0, None, True)
+        return jnp.sum(y * ct)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(xq, a, b)
+    g_ext = jax.grad(loss_ext, argnums=(0, 1, 2, 3))(xq, a, b, sums)
+    for got, ref in zip(g_ext[:3], g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+    # NOTE: g_ext[0] (dx) must be the FULL GroupNorm gradient (it matched the
+    # monolith above, whose stats are internal) — so the sums cotangent is
+    # zero by construction, not merely by convention:
+    np.testing.assert_array_equal(np.asarray(g_ext[3]), 0.0)
+
+
+@interpret_oracle
+@pytest.mark.parametrize("mode", ["circular", "zeros"])
+def test_conv_emitted_stats_chain_matches_oracle(mode, monkeypatch):
+    """conv_packed(emit_stats) -> packed_norm_affine_act(ext_sums): the whole
+    conv-emitted-statistics chain (the ResBlock conv1 -> GN2 fast path)
+    against the plain XLA composition, forward and gradients."""
+    import vdm4cdm_tpu.ops.conv as convmod
+    from vdm4cdm_tpu.ops.conv import conv_packed
+    from vdm4cdm_tpu.ops.norm import packed_norm_affine_act
+    from vdm4cdm_tpu.ops.packed import pack, unpack
+
+    monkeypatch.setattr(convmod, "_CONV_IMPL", "pallas")
+    monkeypatch.setattr(norm_mod, "_PALLAS_GN_ENV", "force")
+    monkeypatch.setattr(norm_mod, "_PALLAS_GN", True)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, H, W, cin, cout, p, groups = 4, 8, 8, 32, 32, 4, 8
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, D, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.1,
+                    jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(cout) * 0.3, jnp.float32)
+    a, b = _affine(jax.random.PRNGKey(22), 2, cout)
+
+    def chain_fast(x, w, bias, a, b):
+        h, sums = conv_packed(pack(x, p), w, bias, padding_mode=mode,
+                              emit_stats=True)
+        assert sums is not None, "stats path not taken"
+        y = packed_norm_affine_act(h, a, b, groups, act="silu",
+                                   ext_sums=sums)
+        return unpack(y)
+
+    def chain_oracle(x, w, bias, a, b):
+        # pure-XLA conv (conv_nd would follow the monkeypatched "pallas" impl)
+        if mode == "circular":
+            xp = jnp.pad(x, ((0, 0),) + ((1, 1),) * 3 + ((0, 0),),
+                         mode="wrap")
+            pads = [(0, 0)] * 3
+        else:
+            xp, pads = x, [(1, 1)] * 3
+        h = jax.lax.conv_general_dilated(
+            xp, w, (1, 1, 1), pads,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias
+        return norm_affine_act(h, a, b, groups, act="silu")
+
+    with pltpu.force_tpu_interpret_mode():
+        got = chain_fast(x, w, bias, a, b)
+    want = chain_oracle(x, w, bias, a, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    ct = jnp.asarray(rng.standard_normal(want.shape), jnp.float32)
+
+    def loss(chain):
+        return lambda *args: jnp.sum(chain(*args) * ct)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_fast = jax.grad(loss(chain_fast), argnums=(0, 1, 2, 3, 4))(
+            x, w, bias, a, b)
+    g_ora = jax.grad(loss(chain_oracle), argnums=(0, 1, 2, 3, 4))(
+        x, w, bias, a, b)
+    for got, ref in zip(g_fast, g_ora):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

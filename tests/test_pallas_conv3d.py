@@ -171,3 +171,109 @@ class TestSupports:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(ew),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestBiasStats:
+    """Bias-folded, stats-emitting packed entries (conv3d_pallas_packed_bs /
+    conv3d_pallas_zhalo_packed_bs) — the entries the packed ResBlock fast
+    path actually runs (ops/conv.conv_packed): out == oracle conv + bias;
+    sums == per-lane (sum y, sum y^2) of the f32 output; dx/dw/db all match
+    the oracle chain (db comes out of the dw kernel's grid accumulation)."""
+
+    DIMS = (4, 8, 8, 32, 32)  # pack 4
+    P = 4
+
+    def _data(self, seed=11):
+        D, H, W, cin, cout = self.DIMS
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((2, D, H, W, cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(cout) * 0.5, jnp.float32)
+        return x, w, bias
+
+    @pytest.mark.parametrize("mode", ["circular", "zeros"])
+    def test_forward_and_sums(self, mode):
+        from vdm4cdm_tpu.ops.pallas.conv3d import conv3d_pallas_packed_bs
+
+        D, H, W, cin, cout = self.DIMS
+        x, w, bias = self._data()
+        xq = x.reshape(2, D, H * W // self.P, self.P * cin)
+        with pltpu.force_tpu_interpret_mode():
+            out, sums = conv3d_pallas_packed_bs(xq, w, bias, mode, (D, H, W))
+        want = _oracle(x, w, mode) + bias
+        np.testing.assert_allclose(
+            np.asarray(out.reshape(want.shape)), np.asarray(want),
+            rtol=1e-4, atol=1e-4)
+        wq = np.asarray(want).reshape(2, D, H * W // self.P, self.P * cout)
+        np.testing.assert_allclose(np.asarray(sums[:, 0]),
+                                   wq.sum(axis=(1, 2)), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(sums[:, 1]),
+                                   (wq * wq).sum(axis=(1, 2)),
+                                   rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.parametrize("mode", ["circular", "zeros"])
+    def test_grads_incl_bias(self, mode):
+        from vdm4cdm_tpu.ops.pallas.conv3d import conv3d_pallas_packed_bs
+
+        D, H, W, cin, cout = self.DIMS
+        x, w, bias = self._data(12)
+        xq = x.reshape(2, D, H * W // self.P, self.P * cin)
+
+        def loss_p(xq, w, bias):
+            out, _sums = conv3d_pallas_packed_bs(xq, w, bias, mode, (D, H, W))
+            return jnp.sum(jnp.sin(out))
+
+        def loss_o(x, w, bias):
+            return jnp.sum(jnp.sin(_oracle(x, w, mode) + bias))
+
+        with pltpu.force_tpu_interpret_mode():
+            gx_p, gw_p, gb_p = jax.grad(loss_p, argnums=(0, 1, 2))(xq, w, bias)
+        gx_o, gw_o, gb_o = jax.grad(loss_o, argnums=(0, 1, 2))(x, w, bias)
+        np.testing.assert_allclose(np.asarray(gx_p.reshape(x.shape)),
+                                   np.asarray(gx_o), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_o),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_o),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("mode", ["circular", "zeros"])
+    def test_zhalo_forward_sums_and_grads(self, mode):
+        from vdm4cdm_tpu.ops.pallas.conv3d import (
+            conv3d_pallas_zhalo_packed_bs,
+        )
+
+        D, H, W, cin, cout = self.DIMS
+        x, w, bias = self._data(13)
+        zpad = "wrap" if mode == "circular" else "constant"
+
+        def haloed(x):
+            xh = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)),
+                         mode=zpad)
+            return xh.reshape(2, D + 2, H * W // self.P, self.P * cin)
+
+        with pltpu.force_tpu_interpret_mode():
+            out, sums = conv3d_pallas_zhalo_packed_bs(
+                haloed(x), w, bias, mode, (D, H, W))
+        want = _oracle(x, w, mode) + bias
+        np.testing.assert_allclose(
+            np.asarray(out.reshape(want.shape)), np.asarray(want),
+            rtol=1e-4, atol=1e-4)
+        wq = np.asarray(want).reshape(2, D, H * W // self.P, self.P * cout)
+        np.testing.assert_allclose(np.asarray(sums[:, 0]),
+                                   wq.sum(axis=(1, 2)), rtol=1e-3, atol=1e-3)
+
+        def loss_p(x, w, bias):
+            out, _ = conv3d_pallas_zhalo_packed_bs(
+                haloed(x), w, bias, mode, (D, H, W))
+            return jnp.sum(jnp.sin(out))
+
+        def loss_o(x, w, bias):
+            return jnp.sum(jnp.sin(_oracle(x, w, mode) + bias))
+
+        with pltpu.force_tpu_interpret_mode():
+            gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w, bias)
+        go = jax.grad(loss_o, argnums=(0, 1, 2))(x, w, bias)
+        for got, ref in zip(gp, go):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)

@@ -75,7 +75,12 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_freq: float = 1000.0) -> jn
 
 class _Conv(nn.Module):
     """Parameter container for a sharding-aware conv (weights live in linen,
-    compute goes through ops.conv_nd)."""
+    compute goes through ops.conv_nd).
+
+    ``emit_stats=True`` changes the return to ``(out, sums | None)``: on the
+    packed Pallas path the kernel emits per-lane GroupNorm sums of its output
+    (conv-emitted GN statistics — the consuming _GroupNorm skips its stats
+    sweep); every other path returns None sums."""
 
     features: int
     kernel_size: int
@@ -83,6 +88,7 @@ class _Conv(nn.Module):
     padding_mode: str = "zeros"
     ctx: ShardCtx = NO_SHARD
     zero_init: bool = False
+    emit_stats: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -96,10 +102,12 @@ class _Conv(nn.Module):
         if packed:
             assert self.stride == 1
             return conv_packed(x, w, b, padding_mode=self.padding_mode,
-                               ctx=self.ctx)
+                               ctx=self.ctx, emit_stats=self.emit_stats)
         if self.stride == 2:
-            return downsample_conv(x, w, b, padding_mode=self.padding_mode, ctx=self.ctx)
-        return conv_nd(x, w, b, stride=self.stride, padding_mode=self.padding_mode, ctx=self.ctx)
+            out = downsample_conv(x, w, b, padding_mode=self.padding_mode, ctx=self.ctx)
+        else:
+            out = conv_nd(x, w, b, stride=self.stride, padding_mode=self.padding_mode, ctx=self.ctx)
+        return (out, None) if self.emit_stats else out
 
 
 class _GroupNorm(nn.Module):
@@ -114,7 +122,8 @@ class _GroupNorm(nn.Module):
     ctx: ShardCtx = NO_SHARD
 
     @nn.compact
-    def __call__(self, x, film=None, dropout_p: float = 0.0, dropout_rng=None):
+    def __call__(self, x, film=None, dropout_p: float = 0.0, dropout_rng=None,
+                 ext_sums=None):
         packed = isinstance(x, (Packed, PackedPair))
         c = x.channels if packed else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
@@ -122,7 +131,9 @@ class _GroupNorm(nn.Module):
         if packed:
             return packed_group_norm_film(
                 x, scale, bias, film, self.groups, act=self.act,
-                dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=self.ctx)
+                dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=self.ctx,
+                ext_sums=ext_sums)
+        assert ext_sums is None  # conv emits stats only on the packed path
         if film is None and dropout_p == 0.0:
             return group_norm(x, scale, bias, self.groups, act=self.act,
                               ctx=self.ctx)
@@ -153,7 +164,12 @@ class ResBlock(nn.Module):
     def __call__(self, x, emb):
         train = self.train
         h = _GroupNorm(self.norm_groups, act="silu", ctx=self.ctx)(x)
-        h = _Conv(self.features, 3, padding_mode=self.padding_mode, ctx=self.ctx)(h)
+        # conv1 feeds the second GroupNorm DIRECTLY, so its Pallas kernel
+        # emits the GN statistics alongside the output and the norm skips
+        # its stats sweep — one full HBM read of h saved per ResBlock
+        # (conv-emitted GN statistics, ROADMAP round-3 item 1a).
+        h, hsums = _Conv(self.features, 3, padding_mode=self.padding_mode,
+                         ctx=self.ctx, emit_stats=True)(h)
 
         p = self.dropout_prob if train else 0.0
         rng = self.make_rng("dropout") if p > 0 else None
@@ -163,7 +179,8 @@ class ResBlock(nn.Module):
             film = tuple(jnp.split(film_out, 2, axis=-1))
         # GN + FiLM + SiLU + dropout: one fused epilogue (Pallas on TPU)
         h = _GroupNorm(self.norm_groups, ctx=self.ctx, act="silu")(
-            h, film=film, dropout_p=p, dropout_rng=rng)
+            h, film=film, dropout_p=p, dropout_rng=rng,
+            ext_sums=hsums if isinstance(h, Packed) else None)
         h = _Conv(self.features, 3, padding_mode=self.padding_mode, ctx=self.ctx, zero_init=True)(h)
 
         if isinstance(x, (Packed, PackedPair)):

@@ -48,6 +48,12 @@ _CONV_IMPL = os.environ.get("VDM4CDM_CONV_IMPL", "auto")
 # where saved bytes should win.
 _LANEMM = os.environ.get("VDM4CDM_LANEMM", "0") == "1"
 
+# Bias-folded, stats-emitting packed conv entries (conv3d_pallas_*_bs):
+# default ON ("1") — in-kernel bias (kills the standalone out+b HBM pass) and
+# conv-emitted GroupNorm sums (the downstream fused norm skips its stats
+# sweep). "0" restores the round-2 entries + outer bias add, for A/B.
+_CONV_BS = os.environ.get("VDM4CDM_CONV_BS", "1") != "0"
+
 # Circular padding strategy: "facefix" computes the zero-padded conv (XLA's
 # fast internal-padding path, no materialized copy, aligned shapes) and adds
 # the exact wraparound contributions via thin per-face convolutions — measured
@@ -320,7 +326,7 @@ def _conv_taps(x: jnp.ndarray, w: jnp.ndarray, pads) -> jnp.ndarray:
 
 
 def conv_packed(pk, w, b=None, padding_mode: str = "zeros",
-                ctx: ShardCtx = NO_SHARD):
+                ctx: ShardCtx = NO_SHARD, emit_stats: bool = False):
     """conv_nd on a :class:`~vdm4cdm_tpu.ops.packed.Packed` carrier (stride 1,
     k in {1, 3}): k=3 runs the Pallas packed conv directly on the carrier
     (no reshape/relayout); k=1 is a single block-diagonal matmul on the
@@ -329,11 +335,20 @@ def conv_packed(pk, w, b=None, padding_mode: str = "zeros",
     (round-3: sharded packed carriers); k=1 is pointwise and needs no halo.
     Falls back to unpack -> conv_nd -> repack off-TPU.
 
+    The k=3 Pallas path folds the bias IN-KERNEL and emits per-lane GroupNorm
+    sums of its output for free (conv3d_pallas_*_bs); ``emit_stats=True``
+    changes the return to ``(Packed, sums | None)`` — sums is the (B, 2,
+    p*Cout) f32 local (sum y, sum y^2) accepted by
+    ops.norm.packed_norm_affine_act's ``ext_sums`` (which skips the norm's
+    stats sweep), or None on any path that can't emit them (pair input, XLA
+    fallback). The sums carry NO gradient (see the kernel module's contract).
+
     A :class:`~vdm4cdm_tpu.ops.packed.PackedPair` (lazy concat) splits the
     kernel along its input channels — conv(concat(h, s), W) = conv(h, W_h) +
     conv(s, W_s) — so the joined tensor is never written (round-3:
     concat-free decoder). Same bytes read; the pair collapses to a single
-    Packed here."""
+    Packed here (its post-add stats can't come from either half's kernel, so
+    emit_stats yields None)."""
     from .packed import Packed, PackedPair, pack, unpack
 
     if isinstance(pk, PackedPair):
@@ -343,7 +358,8 @@ def conv_packed(pk, w, b=None, padding_mode: str = "zeros",
                          ctx=ctx)
         yb = conv_packed(pk.b, w[..., ca:, :], None,
                          padding_mode=padding_mode, ctx=ctx)
-        return Packed(ya.data + yb.data, ya.spatial, ya.channels, ya.p)
+        out = Packed(ya.data + yb.data, ya.spatial, ya.channels, ya.p)
+        return (out, None) if emit_stats else out
 
     assert isinstance(pk, Packed)
     nd = 3
@@ -373,10 +389,12 @@ def conv_packed(pk, w, b=None, padding_mode: str = "zeros",
 
             if _mm_ok(flat.shape, p * cin, p * cout, flat.dtype):
                 out = lane_matmul(flat, bd, bias)
-                return Packed(out.reshape(pk.data.shape[:-1] + (p * cout,)),
-                              pk.spatial, cout, p)
+                out = Packed(out.reshape(pk.data.shape[:-1] + (p * cout,)),
+                             pk.spatial, cout, p)
+                return (out, None) if emit_stats else out
         out = pk.data @ bd + bias.astype(pk.data.dtype)
-        return Packed(out, pk.spatial, cout, p)
+        out = Packed(out, pk.spatial, cout, p)
+        return (out, None) if emit_stats else out
 
     if (
         ksizes == (3, 3, 3)
@@ -385,24 +403,43 @@ def conv_packed(pk, w, b=None, padding_mode: str = "zeros",
     ):
         from .pallas.conv3d import (
             conv3d_pallas_packed,
+            conv3d_pallas_packed_bs,
             conv3d_pallas_zhalo_packed,
+            conv3d_pallas_zhalo_packed_bs,
         )
 
         periodic = padding_mode == "circular"
+        bias = (b.astype(jnp.float32) if b is not None
+                else jnp.zeros((cout,), jnp.float32))
         if ctx.axis is not None and ctx.spatial_dim == 0:
             # packed planes halo-exchange exactly like unpacked ones: the
             # carrier's axis 1 IS the z-plane axis (packing is in-plane).
             xh = halo_exchange(pk.data, ctx, 1, 1, periodic=periodic)
-            out = conv3d_pallas_zhalo_packed(xh, w, padding_mode, pk.spatial)
-            if b is not None:
-                out = out + jnp.tile(b.astype(out.dtype), p)
-            return Packed(out, pk.spatial, cout, p)
+            if _CONV_BS:
+                out, sums = conv3d_pallas_zhalo_packed_bs(
+                    xh, w, bias, padding_mode, pk.spatial)
+            else:
+                out = conv3d_pallas_zhalo_packed(xh, w, padding_mode,
+                                                 pk.spatial)
+                if b is not None:
+                    out = out + jnp.tile(b.astype(out.dtype), p)
+                sums = None
+            out = Packed(out, pk.spatial, cout, p)
+            return (out, sums) if emit_stats else out
         if ctx.axis is None:
-            out = conv3d_pallas_packed(pk.data, w, padding_mode, pk.spatial)
-            if b is not None:
-                out = out + jnp.tile(b.astype(out.dtype), p)
-            return Packed(out, pk.spatial, cout, p)
+            if _CONV_BS:
+                out, sums = conv3d_pallas_packed_bs(
+                    pk.data, w, bias, padding_mode, pk.spatial)
+            else:
+                out = conv3d_pallas_packed(pk.data, w, padding_mode,
+                                           pk.spatial)
+                if b is not None:
+                    out = out + jnp.tile(b.astype(out.dtype), p)
+                sums = None
+            out = Packed(out, pk.spatial, cout, p)
+            return (out, sums) if emit_stats else out
 
     out = conv_nd(unpack(pk), w, b, stride=1, padding_mode=padding_mode,
                   ctx=ctx)
-    return pack(out, p=p)
+    out = pack(out, p=p)
+    return (out, None) if emit_stats else out

@@ -222,6 +222,7 @@ def packed_norm_affine_act(
     dropout_p: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     ctx: ShardCtx = NO_SHARD,
+    ext_sums: Optional[jnp.ndarray] = None,
 ):
     """norm_affine_act on a :class:`~vdm4cdm_tpu.ops.packed.Packed` carrier —
     the fused kernel runs directly on the packed rows (no reshape, no
@@ -231,7 +232,13 @@ def packed_norm_affine_act(
     JOINT group statistics over the two carriers and stays a pair — the
     decoder's skip join never materializes (round-3: concat-free decoder).
     Falls back to the XLA composition via unpack/repack when the fused kernel
-    is unavailable (CPU tests, interpret mode)."""
+    is unavailable (CPU tests, interpret mode).
+
+    ``ext_sums``: optional per-lane (B, 2, p*C) f32 local (sum x, sum x^2)
+    emitted by the producing conv kernel (ops/conv.conv_packed emit_stats) —
+    the stats sweep is skipped entirely (round-3 ROADMAP 1a: conv-emitted GN
+    statistics). Only honored on the single-carrier fused path; ignored (the
+    sweep runs) wherever the fused kernel can't host the shape."""
     from .packed import Packed, PackedPair, pack, unpack
 
     if act not in (None, "silu"):
@@ -282,6 +289,7 @@ def packed_norm_affine_act(
             _tile_rows,
             fused_norm_affine_packed,
             fused_norm_affine_packed_cp,
+            fused_norm_affine_packed_ext,
         )
 
         flat = pk.flat_rows()
@@ -296,7 +304,12 @@ def packed_norm_affine_act(
                 if dropout_p > 0.0
                 else jnp.zeros((1,), jnp.int32)
             )
-            if ctx.axis is not None:
+            if ext_sums is not None:
+                out = fused_norm_affine_packed_ext(
+                    flat, a.astype(jnp.float32), b.astype(jnp.float32), seed,
+                    ext_sums, pk.channels, groups, eps, act, float(dropout_p),
+                    ctx.axis, interpret)
+            elif ctx.axis is not None:
                 out = fused_norm_affine_packed_cp(
                     flat, a.astype(jnp.float32), b.astype(jnp.float32), seed,
                     pk.channels, groups, eps, act, float(dropout_p),
@@ -325,9 +338,11 @@ def packed_group_norm_film(
     dropout_p: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     ctx: ShardCtx = NO_SHARD,
+    ext_sums: Optional[jnp.ndarray] = None,
 ):
     """ResBlock epilogue on a Packed carrier (or a PackedPair lazy concat);
-    ``film`` is an optional (scale, shift) pair of (B, C) arrays."""
+    ``film`` is an optional (scale, shift) pair of (B, C) arrays. ``ext_sums``
+    as in :func:`packed_norm_affine_act` (conv-emitted GN statistics)."""
     bsz, c = pk.batch, pk.channels
     a = jnp.broadcast_to(scale.astype(jnp.float32)[None], (bsz, c))
     b = jnp.broadcast_to(bias.astype(jnp.float32)[None], (bsz, c))
@@ -338,4 +353,5 @@ def packed_group_norm_film(
         b = b * one_fs + fsh.astype(jnp.float32)
     return packed_norm_affine_act(
         pk, a, b, groups, eps=eps, act=act,
-        dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=ctx)
+        dropout_p=dropout_p, dropout_rng=dropout_rng, ctx=ctx,
+        ext_sums=ext_sums)

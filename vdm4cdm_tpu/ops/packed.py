@@ -175,7 +175,10 @@ def conv_packable(spatial, cin: int, cout: int, p: int, dtype) -> bool:
     if cin < 8 or cout < 8 or h < 2 or w < 8:
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    geo = _c3._geometry(d, h, w, cin, cout, itemsize=itemsize, p_override=p)
+    # stats=True: the packed path runs the bias-folded, stats-emitting
+    # forward kernel (conv3d_pallas_*_bs), whose VMEM working set is larger
+    geo = _c3._geometry(d, h, w, cin, cout, itemsize=itemsize, p_override=p,
+                        stats=True)
     if geo[2] is None:
         return False
     # the packed custom_vjp's dx keeps the carrier's pack factor with io

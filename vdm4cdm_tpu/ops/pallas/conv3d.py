@@ -88,7 +88,7 @@ def _pack_factor(W: int, C: int):
 
 
 def _tile_bytes(dT: int, rows: int, O: int, p: int, C: int, Cout: int,
-                itemsize: int):
+                itemsize: int, stats: bool = False):
     slots = (2 * dT + 2) * (rows + 2 * O) * p * C * itemsize
     acc = rows * p * Cout * 4
     edges = 2 * rows * 3 * C * itemsize
@@ -97,14 +97,19 @@ def _tile_bytes(dT: int, rows: int, O: int, p: int, C: int, Cout: int,
     # Mosaic stack temps the kernel body keeps live: the f32 dot result being
     # accumulated, plus the edge-select working set (wcol iota + two selects)
     temps = rows * p * Cout * 4 + 12 * rows * C
+    if stats:
+        # bias-added f32 block + the squared temp feeding the sums reduction
+        temps += 2 * rows * p * Cout * 4
     return slots + acc + edges + out_blk + wq + temps
 
 
 def _geometry(D: int, H: int, W: int, C: int, Cout: int, itemsize: int = 2,
-              p_override: int = None):
+              p_override: int = None, stats: bool = False):
     """(p, Wp, dT): packed layout + planes per grid step (full-plane tiles).
     ``p_override``: honor a caller-chosen pack factor (packed carriers keep a
-    level-wide p even where the canonical per-C factor would differ)."""
+    level-wide p even where the canonical per-C factor would differ).
+    ``stats``: size for the bias+stats-emitting forward variant (extra f32
+    temps per output block)."""
     p = p_override or _pack_factor(W, C)
     if p is None or (p * C) % 128 or W % p:
         return None, None, None
@@ -119,7 +124,7 @@ def _geometry(D: int, H: int, W: int, C: int, Cout: int, itemsize: int = 2,
     for cand in (1, 2, 4):
         if D % cand:
             continue
-        if _tile_bytes(cand, rows, O, p, C, Cout, itemsize) <= _VMEM_BUDGET:
+        if _tile_bytes(cand, rows, O, p, C, Cout, itemsize, stats) <= _VMEM_BUDGET:
             dT = cand
     return p, Wp, dT
 
@@ -354,14 +359,29 @@ def _edge_operands_dz(slots_ref, sl, *, O, Wp, p, C, rows, zeros):
     return lo_parts, hi_parts
 
 
-def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
-                slots_ref, sems, acc_ref, *,
-                dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap"):
+def _fwd_kernel(*refs, dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap",
+                has_bias=False, with_stats=False):
+    # positional refs vary with the (static) has_bias/with_stats flags:
+    #   inputs:  xq, wq, wlo, whi, [bias]
+    #   outputs: out, [sums]
+    #   scratch: slots, sems, acc, [sacc]
+    it = iter(refs)
+    xq_ref, wq_ref, wlo_ref, whi_ref = (next(it) for _ in range(4))
+    bias_ref = next(it) if has_bias else None
+    out_ref = next(it)
+    sums_ref = next(it) if with_stats else None
+    slots_ref, sems, acc_ref = (next(it) for _ in range(3))
+    sacc_ref = next(it) if with_stats else None
+
     b, dd = pl.program_id(0), pl.program_id(1)
     n_dd = pl.num_programs(1)
     R = 2 * dT + 2
     _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd,
                   dT=dT, O=O, D=D, rows=rows, zeros=zeros, zmode=zmode)
+    if with_stats:
+        @pl.when(dd == 0)
+        def _():
+            sacc_ref[:, :] = jnp.zeros_like(sacc_ref)
     for di in range(dT):
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
         for dz in range(3):
@@ -399,12 +419,24 @@ def _fwd_kernel(xq_ref, wq_ref, wlo_ref, whi_ref, out_ref,
                 chunk()
             else:
                 pl.when(pred)(chunk)
-        out_ref[0, di] = acc_ref[:, :].astype(out_ref.dtype)
+        ob = acc_ref[:, :]
+        if has_bias:
+            ob = ob + bias_ref[0:1, :]
+        out_ref[0, di] = ob.astype(out_ref.dtype)
+        if with_stats:
+            # per-lane (sum y, sum y^2) of the f32 pre-cast output — feeds
+            # GroupNorm's statistics so the norm kernel skips its stats sweep
+            sacc_ref[0:1, :] += jnp.sum(ob, axis=0, keepdims=True)
+            sacc_ref[1:2, :] += jnp.sum(ob * ob, axis=0, keepdims=True)
+    if with_stats:
+        @pl.when(dd == n_dd - 1)
+        def _():
+            sums_ref[0, :, :] = sacc_ref[:, :]
 
 
-def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref,
+def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref, dbl_ref,
                slots_ref, sems,
-               accq_ref, acclo_ref, acchi_ref, *,
+               accq_ref, acclo_ref, acchi_ref, accb_ref, *,
                dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap"):
     b, dd = pl.program_id(0), pl.program_id(1)
     n_dd = pl.num_programs(1)
@@ -415,11 +447,18 @@ def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref,
         accq_ref[:, :, :] = jnp.zeros_like(accq_ref)
         acclo_ref[:, :] = jnp.zeros_like(acclo_ref)
         acchi_ref[:, :] = jnp.zeros_like(acchi_ref)
+        accb_ref[:, :] = jnp.zeros_like(accb_ref)
 
     _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd,
                   dT=dT, O=O, D=D, rows=rows, zeros=zeros, zmode=zmode)
     for di in range(dT):
         ct = ct_ref[0, di]
+        # bias gradient rides along: per-lane column sums of ct, folded to
+        # (Cout,) on the host — saves the separate XLA reduction pass over ct
+        # for the bias-folded conv entries (the older entries discard it and
+        # let autodiff of the outer `out + b` handle the bias).
+        accb_ref[0:1, :] += jnp.sum(ct.astype(jnp.float32), axis=0,
+                                    keepdims=True)
         for dz in range(3):
             pred = _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode)
 
@@ -461,52 +500,78 @@ def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref,
         dwq_ref[:, :, :] = accq_ref[:, :, :]
         dwlo_ref[:, :] = acclo_ref[:, :]
         dwhi_ref[:, :] = acchi_ref[:, :]
+        dbl_ref[:, :] = accb_ref[:, :]
 
 
-def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial, zmode="wrap"):
+def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial, zmode="wrap",
+                            bias=None, with_stats=False):
     """Packed-in/packed-out core: xq (B, D_in, H*W/p, p*C) channel-packed rows.
     Returns (B, D, H*W/p, p*Cout) with D = spatial[0] the OUTPUT plane count
     (zmode "wrap": D_in == D; zmode "halo": D_in == D + 2 pre-haloed planes).
     The packed form is the kernel's native layout — models that keep
     activations packed between ops skip the (physical, on padded-lane
     layouts) reshape copies entirely. The pack factor comes from the carrier
-    (xq's lane count / Cin)."""
+    (xq's lane count / Cin).
+
+    ``bias``: optional (Cout,) f32 folded into the output IN-KERNEL (the
+    outer `out + b` add is otherwise a standalone HBM read+write pass — XLA
+    cannot fuse an elementwise epilogue into a custom call). ``with_stats``:
+    additionally emit per-lane (B, 2, p*Cout) f32 (sum y, sum y^2) of the
+    pre-cast f32 output, accumulated across the grid — GroupNorm statistics
+    for free, so the downstream fused-norm skips its stats sweep (ROADMAP
+    round-3 item 1a: conv-emitted GN statistics); returns (out, sums)."""
     D, H, W = spatial
     B = xq.shape[0]
     C = w.shape[3]
     Cout = w.shape[-1]
     p_in = xq.shape[-1] // C
     p, Wp, dT = _geometry(D, H, W, C, Cout, itemsize=xq.dtype.itemsize,
-                          p_override=p_in)
+                          p_override=p_in, stats=with_stats)
     O = -(-(2 * Wp + 2) // 8) * 8  # 8-aligned DMA window
     zeros = padding_mode != "circular"
     rows = H * Wp
     wq, wlo, whi = _pack_weights(w, p, xq.dtype)
+    has_bias = bias is not None
 
     kernel = functools.partial(
         _fwd_kernel, dT=dT, O=O, D=D, Wp=Wp, p=p, C=C, Cout=Cout, rows=rows,
-        zeros=zeros, zmode=zmode)
-    out = pl.pallas_call(
+        zeros=zeros, zmode=zmode, has_bias=has_bias, with_stats=with_stats)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((9, p * C, p * Cout), lambda b, dd: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9 * C, Cout), lambda b, dd: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9 * C, Cout), lambda b, dd: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xq, wq, wlo, whi]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, p * Cout), lambda b, dd: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.tile(bias.astype(jnp.float32), p)[None, :])
+    out_specs = [pl.BlockSpec((1, dT, rows, p * Cout),
+                              lambda b, dd: (b, dd, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, D, rows, p * Cout), xq.dtype)]
+    scratch = [
+        pltpu.VMEM((2 * dT + 2, rows + 2 * O, p * C), xq.dtype),
+        pltpu.SemaphoreType.DMA((2 * dT + 2, 3)),
+        pltpu.VMEM((rows, p * Cout), jnp.float32),
+    ]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((1, 2, p * Cout),
+                                      lambda b, dd: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, 2, p * Cout), jnp.float32))
+        scratch.append(pltpu.VMEM((2, p * Cout), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(B, D // dT),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9, p * C, p * Cout), lambda b, dd: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * C, Cout), lambda b, dd: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * C, Cout), lambda b, dd: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, dT, rows, p * Cout),
-                               lambda b, dd: (b, dd, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, D, rows, p * Cout), xq.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2 * dT + 2, rows + 2 * O, p * C), xq.dtype),
-            pltpu.SemaphoreType.DMA((2 * dT + 2, 3)),
-            pltpu.VMEM((rows, p * Cout), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shape if with_stats else out_shape[0],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
@@ -514,8 +579,8 @@ def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial, zmode="wrap"):
             bytes_accessed=B * D * H * W * (C + Cout) * xq.dtype.itemsize,
             transcendentals=0,
         ),
-    )(xq, wq, wlo, whi)
-    return out
+    )(*args)
+    return res
 
 
 def _conv_pallas_raw(x, w, padding_mode: str):
@@ -545,7 +610,7 @@ def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None,
     kernel = functools.partial(
         _dw_kernel, dT=dT, O=O, D=D, Wp=Wp, p=p, C=C, Cout=Cout, rows=rows,
         zeros=zeros, zmode=zmode)
-    dwq, dwlo, dwhi = pl.pallas_call(
+    dwq, dwlo, dwhi, dbl = pl.pallas_call(
         kernel,
         grid=(B, D // dT),
         in_specs=[
@@ -560,11 +625,14 @@ def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * C, Cout), lambda b, dd: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p * Cout), lambda b, dd: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((9, p * C, p * Cout), jnp.float32),
             jax.ShapeDtypeStruct((9 * C, Cout), jnp.float32),
             jax.ShapeDtypeStruct((9 * C, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((1, p * Cout), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * dT + 2, rows + 2 * O, p * C), x.dtype),
@@ -572,6 +640,7 @@ def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None,
             pltpu.VMEM((9, p * C, p * Cout), jnp.float32),
             pltpu.VMEM((9 * C, Cout), jnp.float32),
             pltpu.VMEM((9 * C, Cout), jnp.float32),
+            pltpu.VMEM((1, p * Cout), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
@@ -581,7 +650,9 @@ def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None,
             transcendentals=0,
         ),
     )(xq, ctq)
-    return _unpack_dw(dwq, dwlo, dwhi, p, C, Cout, w_dtype)
+    dw = _unpack_dw(dwq, dwlo, dwhi, p, C, Cout, w_dtype)
+    db = dbl.reshape(p, Cout).sum(axis=0)
+    return dw, db
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -613,11 +684,113 @@ def _bwd_packed(padding_mode, spatial, res, ct):
         dx = _conv_xla_fallback(ctf.astype(xq.dtype), w_t, padding_mode)
         dxq = dx.reshape(B, D, H * W // p, p * C)
     x = xq.reshape(B, D, H, W, C)
-    dw = _conv_pallas_dw(x, ctf, padding_mode, w.dtype, p_override=p)
+    dw, _ = _conv_pallas_dw(x, ctf, padding_mode, w.dtype, p_override=p)
     return dxq.astype(xq.dtype), dw
 
 
 conv3d_pallas_packed.defvjp(_fwd_packed, _bwd_packed)
+
+
+# ------------------------------ bias-folded, stats-emitting packed entries
+#
+# The ResBlock-facing fast path (ops/conv.conv_packed): the bias is added
+# IN-KERNEL (the outer `out + b` is otherwise a standalone HBM read+write
+# pass — XLA cannot fuse elementwise epilogues into custom calls) and the
+# kernel emits per-lane (sum y, sum y^2) of its f32 output for free — the
+# downstream fused GroupNorm consumes them and skips its stats sweep
+# (fused_norm.fused_norm_affine_packed_ext). In the backward, db comes out
+# of the dw kernel's grid accumulation (no separate XLA reduction over ct).
+#
+# CONTRACT: the ``sums`` output exists ONLY to feed the ext fused-norm, whose
+# vjp returns a zero cotangent for it (the GN dx formula already carries the
+# full stats->x dependence). The bwd here accordingly IGNORES the sums
+# cotangent — do not route gradients through ``sums`` in any other way.
+
+
+def _bs_bwd_core(padding_mode, spatial, xq, w, ct, zmode):
+    """Shared backward for the _bs entries: (dxq, dw, db)."""
+    D, H, W = spatial
+    C, Cout = w.shape[3], w.shape[4]
+    p = xq.shape[-1] // C
+    B = xq.shape[0]
+    w_t = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    if zmode == "halo":
+        ct_pad = jnp.pad(ct.astype(xq.dtype),
+                         ((0, 0), (2, 2), (0, 0), (0, 0)))
+        if _transposed_ok(D + 2, H, W, C, Cout, xq.dtype.itemsize,
+                          p_override=p):
+            dxq = _conv_pallas_raw_packed(ct_pad, w_t.astype(xq.dtype),
+                                          padding_mode, (D + 2, H, W),
+                                          zmode="halo")
+        else:
+            ctf_pad = ct_pad.reshape(B, D + 4, H, W, Cout)
+            dx = _conv_xla_fallback(ctf_pad, w_t, padding_mode, z_same=False)
+            dxq = dx.reshape(B, D + 2, H * W // p, p * C)
+        x = xq.reshape(B, D + 2, H, W, C)
+    else:
+        ctf = ct.reshape(B, D, H, W, Cout)
+        if _transposed_ok(D, H, W, C, Cout, xq.dtype.itemsize, p_override=p):
+            dxq = _conv_pallas_raw_packed(ct.astype(xq.dtype),
+                                          w_t.astype(xq.dtype),
+                                          padding_mode, spatial)
+        else:
+            dx = _conv_xla_fallback(ctf.astype(xq.dtype), w_t, padding_mode)
+            dxq = dx.reshape(B, D, H * W // p, p * C)
+        x = xq.reshape(B, D, H, W, C)
+    ctf = ct.reshape(B, D, H, W, Cout)
+    dw, db = _conv_pallas_dw(x, ctf, padding_mode, w.dtype, p_override=p,
+                             zmode=zmode)
+    return dxq.astype(xq.dtype), dw, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3d_pallas_packed_bs(xq, w, bias, padding_mode: str, spatial):
+    """:func:`conv3d_pallas_packed` with the (Cout,) bias folded in-kernel,
+    returning ``(out, sums)`` where sums is the per-lane (B, 2, p*Cout) f32
+    (sum y, sum y^2) of the f32 pre-cast output (see block comment above for
+    the sums-gradient contract)."""
+    return _conv_pallas_raw_packed(xq, w.astype(xq.dtype), padding_mode,
+                                   spatial, bias=bias, with_stats=True)
+
+
+def _fwd_packed_bs(xq, w, bias, padding_mode, spatial):
+    return conv3d_pallas_packed_bs(xq, w, bias, padding_mode, spatial), (xq, w)
+
+
+def _bwd_packed_bs(padding_mode, spatial, res, cts):
+    xq, w = res
+    ct, _unused_ct_sums = cts  # zero by the ext-norm contract
+    dxq, dw, db = _bs_bwd_core(padding_mode, spatial, xq, w, ct, "wrap")
+    return dxq, dw, db
+
+
+conv3d_pallas_packed_bs.defvjp(_fwd_packed_bs, _bwd_packed_bs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3d_pallas_zhalo_packed_bs(xq, w, bias, padding_mode: str, spatial):
+    """:func:`conv3d_pallas_zhalo_packed` with in-kernel bias + emitted stats:
+    xq (B, D+2, H*W/p, p*Cin) pre-haloed planes, ``spatial`` the static OUTPUT
+    (D, H, W); returns ``(out, sums)``. The per-shard sums feed the CP ext
+    fused-norm, which psums them over the mesh axis."""
+    return _conv_pallas_raw_packed(xq, w.astype(xq.dtype), padding_mode,
+                                   spatial, zmode="halo", bias=bias,
+                                   with_stats=True)
+
+
+def _fwd_zh_packed_bs(xq, w, bias, padding_mode, spatial):
+    return (conv3d_pallas_zhalo_packed_bs(xq, w, bias, padding_mode, spatial),
+            (xq, w))
+
+
+def _bwd_zh_packed_bs(padding_mode, spatial, res, cts):
+    xq, w = res
+    ct, _unused_ct_sums = cts  # zero by the ext-norm contract
+    dxq, dw, db = _bs_bwd_core(padding_mode, spatial, xq, w, ct, "halo")
+    return dxq, dw, db
+
+
+conv3d_pallas_zhalo_packed_bs.defvjp(_fwd_zh_packed_bs, _bwd_zh_packed_bs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -646,7 +819,7 @@ def _bwd(padding_mode, res, ct):
                               padding_mode)
     else:
         dx = _conv_xla_fallback(ct.astype(x.dtype), w_t, padding_mode)
-    dw = _conv_pallas_dw(x, ct, padding_mode, w.dtype)
+    dw, _ = _conv_pallas_dw(x, ct, padding_mode, w.dtype)
     return dx.astype(x.dtype), dw
 
 
@@ -713,7 +886,7 @@ def _bwd_zh(padding_mode, res, ct):
         dx = _zhalo_raw(ct_pad, w_t.astype(x.dtype), padding_mode)
     else:
         dx = _conv_xla_fallback(ct_pad, w_t, padding_mode, z_same=False)
-    dw = _conv_pallas_dw(x, ct, padding_mode, w.dtype, zmode="halo")
+    dw, _ = _conv_pallas_dw(x, ct, padding_mode, w.dtype, zmode="halo")
     return dx.astype(x.dtype), dw
 
 
@@ -762,7 +935,7 @@ def _bwd_zh_packed(padding_mode, spatial, res, ct):
         dxq = dx.reshape(B, D + 2, H * W // p, p * C)
     x = xq.reshape(B, D + 2, H, W, C)
     ctf = ct.reshape(B, D, H, W, Cout)
-    dw = _conv_pallas_dw(x, ctf, padding_mode, w.dtype, p_override=p,
+    dw, _ = _conv_pallas_dw(x, ctf, padding_mode, w.dtype, p_override=p,
                          zmode="halo")
     return dxq.astype(xq.dtype), dw
 

@@ -782,6 +782,77 @@ def _vjp_bwd_packed_cp(C, groups, eps, act, dropout_p, axis, interpret, res,
 fused_norm_affine_packed_cp.defvjp(_vjp_fwd_packed_cp, _vjp_bwd_packed_cp)
 
 
+# -------------------------- external-stats entry (conv-emitted GN statistics)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def fused_norm_affine_packed_ext(xq, a, b, seed, sums, C: int, groups: int,
+                                 eps: float, act: Optional[str],
+                                 dropout_p: float,
+                                 axis: Optional[str] = None,
+                                 interpret: bool = False):
+    """:func:`fused_norm_affine_packed` with EXTERNALLY SUPPLIED per-lane
+    sums: ``sums`` (B, 2, p*C) f32 = (sum x, sum x^2) over the local rows,
+    as emitted by the stats-folding conv kernel
+    (pallas/conv3d.conv3d_pallas_packed_bs) — the stats sweep (one full HBM
+    read of x) is skipped entirely (ROADMAP round-3 item 1a). ``axis``
+    additionally psums the sums over a mesh axis (sharded `sp` path; the
+    conv emits LOCAL sums per shard).
+
+    Gradient contract: the returned vjp gives ``sums`` a ZERO cotangent —
+    the GN dx formula already carries the full stats(x) dependence, so the
+    cotangent flowing back through x is complete and nothing may flow through
+    the sums a second time. The conv kernel's bwd relies on this (it ignores
+    its sums-output cotangent)."""
+    y, _ = _fwd_packed_ext(xq, a, b, seed, sums, C, groups, eps, act,
+                           dropout_p, axis, interpret)
+    return y
+
+
+def _fwd_packed_ext(xq, a, b, seed, sums, C, groups, eps, act, dropout_p,
+                    axis, interpret):
+    p = xq.shape[-1] // C
+    if axis is not None:
+        sums = jax.lax.psum(sums, axis)
+    stats = _finalize_stats(sums, C, groups, eps,
+                            _packed_count(xq, groups, axis))
+    y = _run_apply(xq, stats, _tile_affine(a, p), _tile_affine(b, p), seed,
+                   act=act, dropout_p=dropout_p, interpret=interpret)
+    return y, (xq, a, b, stats, seed, sums)
+
+
+def _vjp_fwd_packed_ext(xq, a, b, seed, sums, C, groups, eps, act, dropout_p,
+                        axis, interpret):
+    return _fwd_packed_ext(xq, a, b, seed, sums, C, groups, eps, act,
+                           dropout_p, axis, interpret)
+
+
+def _vjp_bwd_packed_ext(C, groups, eps, act, dropout_p, axis, interpret, res,
+                        ct):
+    xq, a, b, stats, seed, sums = res
+    count = _packed_count(xq, groups, axis)
+    p = xq.shape[-1] // C
+    ctq = ct.astype(xq.dtype)
+    at = _tile_affine(a, p)
+    bt = _tile_affine(b, p)
+    bsums = _run_bwd_sums(xq, ctq, stats, at, bt, seed,
+                          act=act, dropout_p=dropout_p, interpret=interpret)
+    gsums = jax.lax.psum(bsums, axis) if axis is not None else bsums
+    m = _group_means(gsums, at[:, 0, :], C, groups, count)
+    dxq = _run_bwd_apply(xq, ctq, stats, m, at, bt, seed,
+                         act=act, dropout_p=dropout_p, interpret=interpret)
+    # da/db from the LOCAL sums (see _vjp_bwd_cp for the mesh-pmean argument)
+    B = xq.shape[0]
+    folded = bsums.reshape(B, 2, p, C).sum(axis=2)
+    db = folded[:, 0].astype(a.dtype)
+    da = folded[:, 1].astype(a.dtype)
+    # sums: ZERO cotangent by the module contract (see docstring)
+    return dxq, da, db, None, jnp.zeros_like(sums)
+
+
+fused_norm_affine_packed_ext.defvjp(_vjp_fwd_packed_ext, _vjp_bwd_packed_ext)
+
+
 # ------------------------------------- two-carrier entry (lazy concat, pairs)
 #
 # GroupNorm over the VIRTUAL concat of two packed carriers (ops.packed
