@@ -143,3 +143,72 @@ class TestStochasticSampling:
         b = sfm.draw_samples(params, x0, rng=jax.random.PRNGKey(11), **kw)
         assert np.all(np.isfinite(np.asarray(a)))
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+
+class TestSpatialConditioning:
+    """The reference's SFM scripts build CUNet with s_conditioning_channels=1
+    and feed x0 as a SPATIAL conditioning channel throughout the trajectory
+    (reference trainSFM_c_uc_from_field_name.py:57,104-110) — the CAMELS SFM
+    presets here do the same (config.build_model: in_field => s channels).
+    Regression: loss and sampling must wire x0 into that channel (a net that
+    demands s conditioning used to crash at the first training step)."""
+
+    @pytest.fixture(scope="class")
+    def cond_sfm(self):
+        unet = CUNet(shape=(1, 8, 8), chs=(8, 8, 8, 8), norm_groups=4,
+                     dropout_prob=0.0, s_conditioning_channels=1)
+        sfm = SFM(unet)
+        params = sfm.init_params(jax.random.PRNGKey(0), batch_size=2)
+        return sfm, params
+
+    def test_loss_runs_and_is_finite(self, cond_sfm):
+        sfm, params = cond_sfm
+        x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+        x1 = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1))
+        losses = sfm.loss(params, {"x0": x0, "x1": x1}, jax.random.PRNGKey(3))
+        assert np.isfinite(float(losses.loss))
+
+    def test_conditioning_reaches_the_net(self, cond_sfm):
+        """Same transported state, different x0 => different velocity (after
+        one grad step away from the zero-init output head)."""
+        sfm, params = cond_sfm
+        x0a = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+        x0b = x0a + 1.0
+        x1 = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1))
+
+        def lval(p):
+            return sfm.loss(p, {"x0": x0a, "x1": x1},
+                            jax.random.PRNGKey(3)).loss
+
+        g = jax.grad(lval)(params)
+        stepped = jax.tree.map(lambda p, gi: p - 1e-2 * gi, params, g)
+        xt = jnp.zeros((2, 8, 8, 1))
+        t = jnp.full((2,), 0.5)
+        va = sfm.velocity(stepped, xt, t, s_conditioning=x0a)
+        vb = sfm.velocity(stepped, xt, t, s_conditioning=x0b)
+        assert np.abs(np.asarray(va) - np.asarray(vb)).max() > 1e-6
+
+    def test_sampling_uses_x0_conditioning(self, cond_sfm):
+        sfm, params = cond_sfm
+        x0 = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 1))
+        out = sfm.draw_samples(params, x0, n_sampling_steps=3)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_cli_train_with_s_conditioned_sfm_preset(self, tmp_path):
+        """End-to-end regression at the exact failure site: the 2D SFM
+        mid-attn preset (trainSFM_c_uc: in_field="Mstar" => the velocity
+        CUNet is built with s_conditioning_channels=1) must train through
+        the CLI. Before the fix this crashed at step 0 with 'model expects
+        s_conditioning'. GRF data, tiny shapes."""
+        from vdm4cdm_tpu.cli.train import main
+
+        rc = main([
+            "--preset", "trainSFM_c_uc",
+            "--set",
+            "data.kind=grf", "data.cropsize=16", "data.batch_size=2",
+            "model.chs=[8,8,8,8]", "model.norm_groups=4",
+            "run.max_steps=2", "run.val_check_interval=1000",
+            "run.ckpt_every_steps=1000", "run.log_every_steps=1",
+            f"run.out_dir={tmp_path}", "run.experiment_name=sfm_scond",
+        ])
+        assert rc == 0

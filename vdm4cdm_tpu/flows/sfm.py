@@ -111,10 +111,21 @@ class SFM:
             xt = xt + self.sigma * g * eps
             target = target + self.sigma * gdot * eps
 
-        v_hat = self.velocity(params, xt, t, v_conditionings=v_conds, train=train,
+        v_hat = self.velocity(params, xt, t, v_conditionings=v_conds,
+                              s_conditioning=self._s_cond(x0), train=train,
                               dropout_rng=rng_drop)
         loss = jnp.mean(jnp.square(v_hat - target))
         return SFMLosses(loss)
+
+    def _s_cond(self, x0: jnp.ndarray) -> Optional[jnp.ndarray]:
+        """x0 doubles as the velocity net's SPATIAL conditioning channel when
+        the net was built with one: the reference's SFM scripts construct
+        CUNet with s_conditioning_channels=1 and LightSFM feeds the
+        conditioning field alongside the transported state for the whole
+        trajectory (reference trainSFM_c_uc_from_field_name.py:57,104-110,
+        trainSFM3D_c_c_from_field_name_thick_lowbatch.py:112-127). Nets
+        built without s channels (s_conditioning_channels=0) get None."""
+        return x0 if self.velocity_model.s_conditioning_channels else None
 
     def draw_samples(
         self,
@@ -181,21 +192,27 @@ class SFM:
         else:
             x_start = x0
 
+        s_cond = self._s_cond(x0)
+
         def euler_body(x, i):
-            v = self.velocity(params, x, jnp.full((x.shape[0],), ts[i]), v_conditionings)
+            v = self.velocity(params, x, jnp.full((x.shape[0],), ts[i]),
+                              v_conditionings, s_conditioning=s_cond)
             return x + dts[i] * v, None
 
         def heun_body(x, i):
             t0_ = jnp.full((x.shape[0],), ts[i])
             t1_ = jnp.full((x.shape[0],), ts[i + 1])
-            v0 = self.velocity(params, x, t0_, v_conditionings)
+            v0 = self.velocity(params, x, t0_, v_conditionings,
+                               s_conditioning=s_cond)
             x_pred = x + dts[i] * v0
-            v1 = self.velocity(params, x_pred, t1_, v_conditionings)
+            v1 = self.velocity(params, x_pred, t1_, v_conditionings,
+                               s_conditioning=s_cond)
             return x + 0.5 * dts[i] * (v0 + v1), None
 
         def sde_body(x, i):
             t = ts[i]
-            v = self.velocity(params, x, jnp.full((x.shape[0],), t), v_conditionings)
+            v = self.velocity(params, x, jnp.full((x.shape[0],), t),
+                              v_conditionings, s_conditioning=s_cond)
             a = churn * self.sigma**2 * t * (1.0 - t)
             drift = v + churn * t * (1.0 - t) * (v - (x - x0) / t)
             noise = jax.random.normal(jax.random.fold_in(rng, i), x.shape,
