@@ -80,14 +80,34 @@ def main():
     comp = step_fn.lower(state, batch_data, key).compile()
     hlo = comp.as_text()
     print(f"optimized HLO: {len(hlo) / 1e6:.1f} MB text", flush=True)
+    dump = os.environ.get("BB_DUMP_HLO")
+    if dump:
+        with open(dump, "w") as f:
+            f.write(hlo)
+        print(f"dumped optimized HLO to {dump}", flush=True)
+    analyze(hlo)
 
+
+def analyze(hlo):
     by_opcode = defaultdict(lambda: [0, 0])   # opcode -> [count, bytes]
     by_source = defaultdict(lambda: [0, 0])   # op_name prefix -> [count, bytes]
     big = []
 
     # instruction lines look like:  %name = TYPE opcode(...), metadata={...}
+    # Only ENTRY-computation (and loop-body) instructions materialize HBM
+    # buffers — fusion-body instructions stream through VMEM/registers, so
+    # counting them wildly overstates traffic (a fusion's HBM cost is its
+    # operands + its root, which the ENTRY-level fusion instruction carries).
     inst_re = re.compile(r"^\s+(?:ROOT\s+)?[%\w.-]+ = (.+?) (\w+)\(")
+    comp_re = re.compile(r"^(ENTRY\s+)?%?[\w.-]+\s*\(.*\)\s*->.*\{")
+    in_entry = False
     for line in hlo.splitlines():
+        cm = comp_re.match(line)
+        if cm or line.startswith("ENTRY"):
+            in_entry = line.startswith("ENTRY") or bool(cm and cm.group(1))
+            continue
+        if not in_entry:
+            continue
         m = inst_re.match(line)
         if not m:
             continue
@@ -122,4 +142,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:  # analyze an existing HLO dump without recompiling
+        analyze(open(sys.argv[1]).read())
+    else:
+        main()

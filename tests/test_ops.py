@@ -296,3 +296,52 @@ class TestResample:
         down = downsample_conv(x, w)
         assert down.shape == (1, 8, 8, 8)
         assert upsample_nearest(down).shape == (1, 16, 16, 8)
+
+    @pytest.mark.parametrize("p", [2, 4])
+    def test_upsample_packed_exact(self, p):
+        """The one-broadcast packed upsample is elementwise IDENTICAL to the
+        per-dim repeat chain (it duplicates, never recombines), and its
+        backward (one 2^3-window reduce) matches to reduce-order rounding."""
+        from vdm4cdm_tpu.ops.packed import pack, unpack
+        from vdm4cdm_tpu.ops.resample import upsample_nearest_packed
+
+        x = _rand(2, (2, 4, 8, 8, 32))
+        ref = upsample_nearest(x)
+        pk = upsample_nearest_packed(pack(x, p=p))
+        assert pk.spatial == (8, 16, 16) and pk.p == p and pk.channels == 32
+        np.testing.assert_array_equal(np.asarray(unpack(pk)), np.asarray(ref))
+
+        ct = _rand(3, ref.shape)
+        g_ref = jax.grad(lambda x: jnp.vdot(upsample_nearest(x), ct))(x)
+        g_pk = jax.grad(lambda x: jnp.vdot(
+            unpack(upsample_nearest_packed(pack(x, p=p))), ct))(x)
+        np.testing.assert_allclose(np.asarray(g_pk), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestThinInputCircular:
+    """Thin-input circular convs (cin*4 <= cout, e.g. conv_in's 2 -> 32) take
+    the wrap-pad path instead of facefix (whose per-face scatter-adds rewrite
+    the much larger OUTPUT once per dim) — must stay exact vs the oracle."""
+
+    def test_routes_and_matches_oracle(self):
+        import vdm4cdm_tpu.ops.conv as convmod
+
+        x = _rand(4, (1, 8, 8, 8, 2))
+        w = _rand(5, (3, 3, 3, 2, 16))
+        b = _rand(6, (16,))
+
+        def loss(x, w):
+            return jnp.sum(conv_nd(x, w, b, padding_mode="circular") ** 2)
+
+        convmod._CIRCULAR_IMPL = "pad"
+        try:
+            ref = conv_nd(x, w, b, padding_mode="circular")
+            gx_ref, gw_ref = jax.grad(loss, argnums=(0, 1))(x, w)
+        finally:
+            convmod._CIRCULAR_IMPL = "facefix"
+        got = conv_nd(x, w, b, padding_mode="circular")
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gx, gx_ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(gw, gw_ref, rtol=1e-4, atol=1e-4)

@@ -73,8 +73,12 @@ def test_cunet_packed_grads_match():
         # same math in a different order (block-diagonal 1x1 skip projection,
         # lane-dense concat), and sum-of-squares grads through the full UNet
         # accumulate ~1e-4-level absolute jitter on ~1e-2-scale elements.
+        # (atol 3e-4: the packed one-broadcast upsample's backward reduces
+        # the 2^3 cotangent window in one sum instead of the repeat chain's
+        # per-dim order — ~1e-6 per-op rounding that compounds through the
+        # decoder; the op itself is pinned exactly in test_ops.py.)
         np.testing.assert_allclose(
-            leaf, flat_b[path], rtol=5e-3, atol=1e-4,
+            leaf, flat_b[path], rtol=5e-3, atol=3e-4,
             err_msg=str(path))
 
 

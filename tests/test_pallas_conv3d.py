@@ -277,3 +277,63 @@ class TestBiasStats:
         for got, ref in zip(gp, go):
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("mode", ["circular", "zeros"])
+    def test_bias_only_no_stats(self, mode):
+        """with_stats=False: in-kernel bias stays, no sums output (bare out),
+        identical values and grads — the entry a ResBlock's second conv runs
+        (its consumer is not a GroupNorm; advisor round-3 finding)."""
+        from vdm4cdm_tpu.ops.pallas.conv3d import conv3d_pallas_packed_bs
+
+        D, H, W, cin, cout = self.DIMS
+        x, w, bias = self._data(14)
+        xq = x.reshape(2, D, H * W // self.P, self.P * cin)
+        with pltpu.force_tpu_interpret_mode():
+            out = conv3d_pallas_packed_bs(xq, w, bias, mode, (D, H, W),
+                                          with_stats=False)
+        assert isinstance(out, jnp.ndarray)  # bare array, no sums
+        want = _oracle(x, w, mode) + bias
+        np.testing.assert_allclose(
+            np.asarray(out.reshape(want.shape)), np.asarray(want),
+            rtol=1e-4, atol=1e-4)
+
+        def loss_p(xq, w, bias):
+            out = conv3d_pallas_packed_bs(xq, w, bias, mode, (D, H, W),
+                                          with_stats=False)
+            return jnp.sum(jnp.sin(out))
+
+        def loss_o(x, w, bias):
+            return jnp.sum(jnp.sin(_oracle(x, w, mode) + bias))
+
+        with pltpu.force_tpu_interpret_mode():
+            gp = jax.grad(loss_p, argnums=(0, 1, 2))(xq, w, bias)
+        go = jax.grad(loss_o, argnums=(0, 1, 2))(x, w, bias)
+        np.testing.assert_allclose(np.asarray(gp[0].reshape(x.shape)),
+                                   np.asarray(go[0]), rtol=1e-4, atol=1e-4)
+        for got, ref in zip(gp[1:], go[1:]):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_sums_bf16_tolerance(self):
+        """bf16 carriers: the emitted sums accumulate from the PRE-CAST f32
+        output, while a monolithic GN would sweep the bf16-rounded values —
+        document and bound that gap (conv3d.py precision note): relative
+        difference O(2^-8) of the sum scale, far inside GN's eps headroom."""
+        from vdm4cdm_tpu.ops.pallas.conv3d import conv3d_pallas_packed_bs
+
+        D, H, W, cin, cout = self.DIMS
+        x, w, bias = self._data(15)
+        xq = x.reshape(2, D, H * W // self.P, self.P * cin).astype(jnp.bfloat16)
+        with pltpu.force_tpu_interpret_mode():
+            out, sums = conv3d_pallas_packed_bs(xq, w, bias, "circular",
+                                                (D, H, W))
+        assert out.dtype == jnp.bfloat16
+        # stats recomputed from the bf16-cast output the carrier actually holds
+        f = out.astype(jnp.float32)
+        s1_bf16 = jnp.sum(f, axis=(1, 2))
+        s2_bf16 = jnp.sum(f * f, axis=(1, 2))
+        n = D * H * W // self.P
+        scale1 = float(jnp.mean(jnp.abs(sums[:, 0]))) + n ** 0.5
+        scale2 = float(jnp.mean(sums[:, 1]))
+        assert float(jnp.max(jnp.abs(sums[:, 0] - s1_bf16))) < 2e-2 * scale1
+        assert float(jnp.max(jnp.abs(sums[:, 1] - s2_bf16))) < 2e-2 * scale2

@@ -53,7 +53,11 @@ from ..ops.packed import (
     pair_packable,
     unpack,
 )
-from ..ops.resample import downsample_conv, upsample_nearest
+from ..ops.resample import (
+    downsample_conv,
+    upsample_nearest,
+    upsample_nearest_packed,
+)
 from ..parallel.halo import (
     NO_SHARD,
     ShardCtx,
@@ -426,7 +430,12 @@ class CUNet(nn.Module):
                 h = Res(level, ch, ng, self.dropout_prob, pm, ctx, train,
                         name=f"up_{level}_{blk}")(h, emb)
             if level > 0:
-                h = upsample_nearest(_arr(h))
+                if isinstance(h, Packed):
+                    # one-broadcast upsample on the carrier: no unpack/repack
+                    # relayouts, no per-dim repeat chain (ops/resample.py)
+                    h = upsample_nearest_packed(h)
+                else:
+                    h = upsample_nearest(_arr(h))
                 h = prep(h, ch)
                 h = _Conv(ch, 3, padding_mode=pm, ctx=ctx,
                           name=f"upsample_{level}")(h)

@@ -144,9 +144,16 @@ def conv_nd(
             if any(p != (0, 0) for p in pad_width):
                 x = jnp.pad(x, pad_width, mode="wrap")
     elif periodic:
-        if _CIRCULAR_IMPL == "facefix" and all(s == 1 for s in stride) and all(
+        # facefix's per-face scatter-adds rewrite the OUTPUT once per spatial
+        # dim; a materialized wrap-pad costs one INPUT copy. For thin-input
+        # convs (conv_in: 2 -> 32 channels) the output is many times larger
+        # than the input, so the pad path wins — the HLO byte audit measured
+        # ~2.9 GB/step of facefix scatter-add/mask traffic at conv_in alone.
+        thin_input = w.shape[-2] * 4 <= w.shape[-1]
+        if (_CIRCULAR_IMPL == "facefix" and not thin_input
+                and all(s == 1 for s in stride) and all(
             k % 2 == 1 and x.shape[1 + d] >= k for d, k in enumerate(ksizes)
-        ):
+        )):
             facefix_dims = list(range(nd))  # zero-conv + per-face corrections
         elif (
             _CIRCULAR_IMPL == "facefix"
@@ -416,8 +423,18 @@ def conv_packed(pk, w, b=None, padding_mode: str = "zeros",
             # carrier's axis 1 IS the z-plane axis (packing is in-plane).
             xh = halo_exchange(pk.data, ctx, 1, 1, periodic=periodic)
             if _CONV_BS:
-                out, sums = conv3d_pallas_zhalo_packed_bs(
-                    xh, w, bias, padding_mode, pk.spatial)
+                # stats only when the caller consumes them (emit_stats) —
+                # otherwise the kernel runs bias-only: no discarded HBM sums
+                # write, smaller VMEM working set (advisor round-3 finding)
+                res = conv3d_pallas_zhalo_packed_bs(
+                    xh, w, bias, padding_mode, pk.spatial,
+                    with_stats=emit_stats)
+                out, sums = res if emit_stats else (res, None)
+                if sums is not None:
+                    # sums carry NO gradient by kernel contract; make that
+                    # structural so misuse yields zero grads, never silently
+                    # wrong ones (advisor round-3 finding)
+                    sums = jax.lax.stop_gradient(sums)
             else:
                 out = conv3d_pallas_zhalo_packed(xh, w, padding_mode,
                                                  pk.spatial)
@@ -428,8 +445,12 @@ def conv_packed(pk, w, b=None, padding_mode: str = "zeros",
             return (out, sums) if emit_stats else out
         if ctx.axis is None:
             if _CONV_BS:
-                out, sums = conv3d_pallas_packed_bs(
-                    pk.data, w, bias, padding_mode, pk.spatial)
+                res = conv3d_pallas_packed_bs(
+                    pk.data, w, bias, padding_mode, pk.spatial,
+                    with_stats=emit_stats)
+                out, sums = res if emit_stats else (res, None)
+                if sums is not None:
+                    sums = jax.lax.stop_gradient(sums)
             else:
                 out = conv3d_pallas_packed(pk.data, w, padding_mode,
                                            pk.spatial)

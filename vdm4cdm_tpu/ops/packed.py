@@ -175,10 +175,16 @@ def conv_packable(spatial, cin: int, cout: int, p: int, dtype) -> bool:
     if cin < 8 or cout < 8 or h < 2 or w < 8:
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    # stats=True: the packed path runs the bias-folded, stats-emitting
-    # forward kernel (conv3d_pallas_*_bs), whose VMEM working set is larger
+    # Gate with the geometry of the kernel that will actually launch: under
+    # VDM4CDM_CONV_BS the stats-emitting forward's VMEM working set is larger
+    # (its geometry is the worst case — the ResBlock's conv1 emits stats);
+    # with the bs entries disabled the plain kernel's smaller set applies,
+    # so the A/B baseline arm is not gated off shapes it can actually run
+    # (advisor round-3 finding).
+    from .conv import _CONV_BS
+
     geo = _c3._geometry(d, h, w, cin, cout, itemsize=itemsize, p_override=p,
-                        stats=True)
+                        stats=_CONV_BS)
     if geo[2] is None:
         return False
     # the packed custom_vjp's dx keeps the carrier's pack factor with io

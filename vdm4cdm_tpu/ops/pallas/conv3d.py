@@ -704,7 +704,17 @@ conv3d_pallas_packed.defvjp(_fwd_packed, _bwd_packed)
 # CONTRACT: the ``sums`` output exists ONLY to feed the ext fused-norm, whose
 # vjp returns a zero cotangent for it (the GN dx formula already carries the
 # full stats->x dependence). The bwd here accordingly IGNORES the sums
-# cotangent — do not route gradients through ``sums`` in any other way.
+# cotangent — and the emit site (ops.conv.conv_packed) additionally wraps
+# sums in lax.stop_gradient, so any other consumer gets structurally-zero
+# gradients instead of silently wrong ones.
+#
+# PRECISION NOTE (bf16 runs): sums accumulate from the PRE-CAST f32 output,
+# while the downstream ext norm normalizes the bf16-cast carrier — the stats
+# are those of the exact values, not of their bf16 rounding. This is a
+# deliberate precision improvement over a monolithic GN (whose own sweep
+# reads bf16 x): mean/var of y and of round_bf16(y) differ by O(2^-8)
+# relative, absorbed into GN's eps-scale tolerance. Pinned by
+# tests/test_packed.py::test_conv_bs_sums_bf16_tolerance.
 
 
 def _bs_bwd_core(padding_mode, spatial, xq, w, ct, zmode):
@@ -743,23 +753,28 @@ def _bs_bwd_core(padding_mode, spatial, xq, w, ct, zmode):
     return dxq.astype(xq.dtype), dw, db
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def conv3d_pallas_packed_bs(xq, w, bias, padding_mode: str, spatial):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3d_pallas_packed_bs(xq, w, bias, padding_mode: str, spatial,
+                            with_stats: bool = True):
     """:func:`conv3d_pallas_packed` with the (Cout,) bias folded in-kernel,
     returning ``(out, sums)`` where sums is the per-lane (B, 2, p*Cout) f32
     (sum y, sum y^2) of the f32 pre-cast output (see block comment above for
-    the sums-gradient contract)."""
+    the sums-gradient contract). ``with_stats=False`` keeps the in-kernel
+    bias but skips the stats accumulation (smaller VMEM working set, no
+    discarded HBM write) and returns the bare ``out`` — for conv sites whose
+    consumer is not a GroupNorm (e.g. a ResBlock's second conv)."""
     return _conv_pallas_raw_packed(xq, w.astype(xq.dtype), padding_mode,
-                                   spatial, bias=bias, with_stats=True)
+                                   spatial, bias=bias, with_stats=with_stats)
 
 
-def _fwd_packed_bs(xq, w, bias, padding_mode, spatial):
-    return conv3d_pallas_packed_bs(xq, w, bias, padding_mode, spatial), (xq, w)
+def _fwd_packed_bs(xq, w, bias, padding_mode, spatial, with_stats=True):
+    return (conv3d_pallas_packed_bs(xq, w, bias, padding_mode, spatial,
+                                    with_stats), (xq, w))
 
 
-def _bwd_packed_bs(padding_mode, spatial, res, cts):
+def _bwd_packed_bs(padding_mode, spatial, with_stats, res, cts):
     xq, w = res
-    ct, _unused_ct_sums = cts  # zero by the ext-norm contract
+    ct = cts[0] if with_stats else cts  # sums ct zero by the ext-norm contract
     dxq, dw, db = _bs_bwd_core(padding_mode, spatial, xq, w, ct, "wrap")
     return dxq, dw, db
 
@@ -767,25 +782,27 @@ def _bwd_packed_bs(padding_mode, spatial, res, cts):
 conv3d_pallas_packed_bs.defvjp(_fwd_packed_bs, _bwd_packed_bs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def conv3d_pallas_zhalo_packed_bs(xq, w, bias, padding_mode: str, spatial):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3d_pallas_zhalo_packed_bs(xq, w, bias, padding_mode: str, spatial,
+                                  with_stats: bool = True):
     """:func:`conv3d_pallas_zhalo_packed` with in-kernel bias + emitted stats:
     xq (B, D+2, H*W/p, p*Cin) pre-haloed planes, ``spatial`` the static OUTPUT
     (D, H, W); returns ``(out, sums)``. The per-shard sums feed the CP ext
-    fused-norm, which psums them over the mesh axis."""
+    fused-norm, which psums them over the mesh axis. ``with_stats=False``:
+    bias-only, returns bare ``out`` (see :func:`conv3d_pallas_packed_bs`)."""
     return _conv_pallas_raw_packed(xq, w.astype(xq.dtype), padding_mode,
                                    spatial, zmode="halo", bias=bias,
-                                   with_stats=True)
+                                   with_stats=with_stats)
 
 
-def _fwd_zh_packed_bs(xq, w, bias, padding_mode, spatial):
-    return (conv3d_pallas_zhalo_packed_bs(xq, w, bias, padding_mode, spatial),
-            (xq, w))
+def _fwd_zh_packed_bs(xq, w, bias, padding_mode, spatial, with_stats=True):
+    return (conv3d_pallas_zhalo_packed_bs(xq, w, bias, padding_mode, spatial,
+                                          with_stats), (xq, w))
 
 
-def _bwd_zh_packed_bs(padding_mode, spatial, res, cts):
+def _bwd_zh_packed_bs(padding_mode, spatial, with_stats, res, cts):
     xq, w = res
-    ct, _unused_ct_sums = cts  # zero by the ext-norm contract
+    ct = cts[0] if with_stats else cts  # sums ct zero by the ext-norm contract
     dxq, dw, db = _bs_bwd_core(padding_mode, spatial, xq, w, ct, "halo")
     return dxq, dw, db
 

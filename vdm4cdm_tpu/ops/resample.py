@@ -26,3 +26,26 @@ def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     for d in range(1, 1 + nd):
         x = jnp.repeat(x, factor, axis=d)
     return x
+
+
+def upsample_nearest_packed(pk):
+    """Nearest ×2 upsample DIRECTLY on the packed carrier — one broadcast.
+
+    The per-dim ``jnp.repeat`` chain on the unpacked tensor materializes a
+    full volume per spatial dim PLUS the unpack/repack relayouts around it
+    (HLO byte audit: ~2.5 GB of writes per step at the decoder's two big
+    upsample sites). On the lane-dense carrier the whole ×2³ upsample is a
+    single broadcast whose row-major order IS the output packed layout:
+    within a row, the upsampled W index 2(q·p+j)+s is lexicographic in
+    (q, j, s), so grouping consecutive 2p elements into two p-blocks is a
+    free reshape; D and H interleave as leading (dim, 2) pairs. One 537 MB
+    write at the flagship's 64³→128³ site instead of ~1.6 GB + relayouts."""
+    from .packed import Packed
+
+    B = pk.batch
+    D, H, W = pk.spatial
+    p, C = pk.p, pk.channels
+    v = pk.data.reshape(B, D, 1, H, 1, W // p, p, 1, C)
+    v = jnp.broadcast_to(v, (B, D, 2, H, 2, W // p, p, 2, C))
+    out = v.reshape(B, 2 * D, (2 * H) * (2 * W) // p, p * C)
+    return Packed(out, (2 * D, 2 * H, 2 * W), C, p)
