@@ -21,9 +21,15 @@
 // Channels live in separate stacks (one mmap per field file, as in the data
 // registries), passed as an array of base pointers. C ABI for ctypes.
 
+#include <fcntl.h>
+#include <unistd.h>
+
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
+#include <cstring>
 #include <thread>
 #include <vector>
 
@@ -203,6 +209,90 @@ void fastloader_crop2d_batch(const float* const* stacks, int nchan,
   for (int t = 1; t < nthreads; ++t) pool.emplace_back(worker);
   worker();
   for (auto& th : pool) th.join();
+}
+
+// Direct-IO cold read (ROADMAP "native loader: direct-IO path for cold
+// reads"): bulk-load a byte range of a file into `out`, bypassing the page
+// cache via O_DIRECT where the filesystem supports it. mmap'd stacks fault
+// 4K pages synchronously on first touch — a cold epoch over a multi-GB grid
+// stack pays random-read latency per page; this path instead streams large
+// aligned preads (8 MB chunks, nthreads ranges in parallel) and memcpys the
+// requested window, which saturates NVMe/network-FS bandwidth. Falls back to
+// buffered pread when O_DIRECT open fails (tmpfs/overlayfs), so callers can
+// use it unconditionally.
+//
+// Returns 0 on success, -1 open failure, -2 short read / IO error.
+extern "C" int fastloader_read_direct(const char* path, int64_t byte_offset,
+                                      int64_t nbytes, void* out,
+                                      int nthreads) {
+  if (nbytes <= 0) return 0;
+  const int64_t kAlign = 4096;
+  const int64_t kChunk = 8 << 20;  // 8 MB per pread
+  bool direct = true;
+  int probe = open(path, O_RDONLY | O_DIRECT);
+  if (probe < 0) {
+    direct = false;
+    probe = open(path, O_RDONLY);
+    if (probe < 0) return -1;
+  }
+  close(probe);
+
+  if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+  const int64_t n_chunks = (nbytes + kChunk - 1) / kChunk;
+  if (nthreads > n_chunks) nthreads = (int)n_chunks;
+  if (nthreads < 1) nthreads = 1;
+
+  std::atomic<int64_t> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    int fd = open(path, direct ? (O_RDONLY | O_DIRECT) : O_RDONLY);
+    if (fd < 0) {
+      err.store(-1);
+      return;
+    }
+    void* buf = nullptr;
+    if (posix_memalign(&buf, kAlign, kChunk + 2 * kAlign) != 0) {
+      close(fd);
+      err.store(-2);
+      return;
+    }
+    for (;;) {
+      const int64_t c = next.fetch_add(1);
+      if (c >= n_chunks || err.load() != 0) break;
+      const int64_t dst_off = c * kChunk;
+      const int64_t want = std::min(kChunk, nbytes - dst_off);
+      // O_DIRECT needs file offset + length aligned: align the read window
+      // down/up and copy out the interior.
+      const int64_t file_off = byte_offset + dst_off;
+      const int64_t aligned_off = direct ? (file_off & ~(kAlign - 1)) : file_off;
+      const int64_t lead = file_off - aligned_off;
+      int64_t need = lead + want;
+      if (direct) need = (need + kAlign - 1) & ~(kAlign - 1);
+      int64_t got = 0;
+      while (got < need) {
+        ssize_t r = pread(fd, (char*)buf + got, (size_t)(need - got),
+                          aligned_off + got);
+        if (r < 0) {
+          err.store(-2);
+          break;
+        }
+        if (r == 0) break;  // EOF: O_DIRECT tail may legally stop at file end
+        got += r;
+      }
+      if (got < lead + want) {
+        if (err.load() == 0) err.store(-2);
+        break;
+      }
+      std::memcpy((char*)out + dst_off, (char*)buf + lead, (size_t)want);
+    }
+    free(buf);
+    close(fd);
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nthreads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return err.load();
 }
 
 }  // extern "C"

@@ -134,3 +134,55 @@ def test_threads_deterministic():
     a = native.crop_batch(stacks, sim_idx, anchors, flips, perms, 8, nthreads=1)
     b = native.crop_batch(stacks, sim_idx, anchors, flips, perms, 8, nthreads=8)
     np.testing.assert_array_equal(a, b)
+
+
+class TestDirectIO:
+    """fastloader_read_direct: the O_DIRECT bulk reader must reproduce
+    np.load byte-for-byte, including unaligned npy data offsets (128-byte
+    header) and tails that end inside a 4K block."""
+
+    def test_roundtrip_3d_stack(self, tmp_path):
+        rng = np.random.default_rng(11)
+        a = rng.standard_normal((3, 17, 17, 17)).astype(np.float32)
+        p = str(tmp_path / "stack.npy")
+        np.save(p, a)
+        got = native.read_npy_direct(p)
+        np.testing.assert_array_equal(got, a)
+
+    def test_large_multichunk_parallel(self, tmp_path):
+        # > one 8 MB chunk so multiple threads take disjoint ranges
+        rng = np.random.default_rng(12)
+        a = rng.integers(0, 255, size=(20 << 20,), dtype=np.uint8)
+        p = str(tmp_path / "big.npy")
+        np.save(p, a)
+        got = native.read_npy_direct(p, nthreads=4)
+        np.testing.assert_array_equal(got, a)
+
+    def test_odd_tail(self, tmp_path):
+        # total bytes deliberately not a multiple of 4096
+        a = np.arange(1234567, dtype=np.uint8)
+        p = str(tmp_path / "odd.npy")
+        np.save(p, a)
+        np.testing.assert_array_equal(native.read_npy_direct(p), a)
+
+    def test_registry_env_gate(self, tmp_path, monkeypatch):
+        from vdm4cdm_tpu.data.registry import DataRegistry
+
+        rng = np.random.default_rng(13)
+        a = np.abs(rng.standard_normal((2, 8, 8, 8))).astype(np.float32)
+        np.save(tmp_path / "f.npy", a)
+        reg_dir = tmp_path / "reg"
+        reg_dir.mkdir()
+        import json
+
+        (reg_dir / "data_source_3d.json").write_text(json.dumps(
+            {"CMD": {"Astrid": {"LH": {"z_0.0": {"Mcdm": "f.npy"}}}}}))
+        (reg_dir / "normalizations_3d.json").write_text(json.dumps(
+            {"Mcdm_m": 0.0, "Mcdm_s": 1.0}))
+        (reg_dir / "alphas_3d.json").write_text(json.dumps({"Mcdm": 1.0}))
+        reg = DataRegistry(registry_dir=str(reg_dir), suffix="_3d",
+                       data_root=str(tmp_path))
+        monkeypatch.setenv("VDM4CDM_DIRECT_IO", "1")
+        got = reg.load_field("CMD", "Astrid", "LH", "z_0.0", "Mcdm", mmap=False)
+        assert isinstance(got, np.ndarray) and not isinstance(got, np.memmap)
+        np.testing.assert_array_equal(got, a)

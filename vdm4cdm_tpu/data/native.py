@@ -65,12 +65,41 @@ def load_library() -> Optional[ctypes.CDLL]:
                 _F32P, _F32P, _F32P,                 # alphas, means, stds
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,  # normalize, channels_last, nthreads
             ]
+        rd = lib.fastloader_read_direct
+        rd.restype = ctypes.c_int
+        rd.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,  # path, offset, nbytes
+            ctypes.c_void_p, ctypes.c_int,                    # out, nthreads
+        ]
         _LIB = lib
         return _LIB
 
 
 def available() -> bool:
     return load_library() is not None
+
+
+def read_npy_direct(path: str, nthreads: int = 0) -> np.ndarray:
+    """Cold-read a C-order .npy file into RAM via the native direct-IO path
+    (O_DIRECT chunked parallel preads; buffered-pread fallback on filesystems
+    without O_DIRECT). Bypasses the page-cache double buffering and the
+    per-4K-page fault latency a cold np.memmap pays on its first epoch.
+    Returns the full array; equivalent to np.load(path) for C-order inputs."""
+    lib = load_library()
+    assert lib is not None, "native fastloader unavailable"
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        offset = f.tell()
+    if fortran:
+        raise ValueError(f"{path}: Fortran-order .npy unsupported by direct IO")
+    out = np.empty(shape, dtype)
+    rc = lib.fastloader_read_direct(
+        path.encode(), offset, out.nbytes, out.ctypes.data_as(ctypes.c_void_p),
+        int(nthreads))
+    if rc != 0:
+        raise IOError(f"fastloader_read_direct({path}) failed with rc={rc}")
+    return out
 
 
 def crop_batch(

@@ -51,6 +51,15 @@ class DataRegistry:
 
     def load_field(self, dataset, suite, set_name, z, field, mmap: bool = True) -> np.ndarray:
         path = self.field_path(dataset, suite, set_name, z, field)
+        if not mmap and os.environ.get("VDM4CDM_DIRECT_IO", "0") == "1":
+            # RAM-resident load via the native O_DIRECT bulk reader: streams
+            # the stack at device bandwidth instead of faulting 4K mmap pages
+            # (native/fastloader.cpp fastloader_read_direct). Falls back to
+            # np.load when the native library is unavailable.
+            from . import native
+
+            if native.available():
+                return native.read_npy_direct(path)
         return np.load(path, mmap_mode="r" if mmap else None)
 
     def normalization(self, field: str) -> tuple[float, float]:
