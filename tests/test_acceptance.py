@@ -1,0 +1,192 @@
+"""Physics acceptance gate for the blessed registry model.
+
+The reference applies its sample-quality bar by eye (inspecting the P(k)
+ratio / PDF / r(k) panels that calc_SS.py:77-99 and src/utils.py:110-128
+produce). Here that bar is an automated test: posterior samples drawn from
+the blessed ``VDM_GRF_c_c_32`` checkpoint (configs/models.yaml) must
+reproduce the held-out ground truth's statistics within stated bands, and
+the suite FAILS if they drift — a trained-model regression gate, not just an
+API test.
+
+Thresholds (calibrated on the round-4 blessed run, with ~2x slack so the
+gate trips on real regressions rather than sampler noise; the blessed run's
+measured values are recorded next to each assert):
+
+  * P(k) band   — mean sample spectrum over mean GT spectrum within
+                  [0.5, 2.0] at every k to Nyquist;
+  * log-PDF     — >= 0.9 histogram overlap (1 - L1/2 of the normalized
+                  pixel-value histograms);
+  * r(k) floor  — sample-vs-own-GT normalized cross-correlation >= 0.7
+                  averaged over the lowest quarter of k bins (the scales the
+                  conditioning determines).
+
+Skips when the blessed checkpoint has not been trained in this checkout
+(tools/blessed_chain.sh trains + blesses it). Marked slow: ~100-step
+ancestral sampling on CPU.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from vdm4cdm_tpu.config import build_datamodule, build_model
+from vdm4cdm_tpu.evals import spectra
+from vdm4cdm_tpu.presets import preset as get_preset
+from vdm4cdm_tpu.utils.array import to_np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REGISTRY = os.path.join(REPO, "configs", "models.yaml")
+NAME = "VDM_GRF_c_c_32"
+
+N_BOXES = 2
+N_REPS = 4
+N_SAMPLING_STEPS = 100
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def blessed():
+    entry = (yaml.safe_load(open(REGISTRY)) or {}).get(NAME) or {}
+    ckpt_dir = os.path.join(REPO, entry.get("ckpt_dir", ""))
+    if not entry or not os.path.isdir(ckpt_dir):
+        pytest.skip(f"blessed checkpoint {NAME} not trained in this checkout "
+                    f"(run tools/blessed_chain.sh)")
+    from vdm4cdm_tpu.train.checkpoint import load_params
+
+    cfg = get_preset(entry.get("preset", NAME))
+    model = build_model(cfg)
+    template = model.init_params(jax.random.PRNGKey(0))
+    params = load_params(ckpt_dir, template, step=entry.get("ckpt_step"))
+    dm = build_datamodule(cfg, stage="test")
+    return cfg, model, params, dm
+
+
+@pytest.fixture(scope="module")
+def samples_and_gt(blessed):
+    """(samples, gts, conds): channels-first f32 arrays; samples has
+    N_REPS posterior draws per GT box, flattened to (N_BOXES*N_REPS, 1, R^3)."""
+    cfg, model, params, dm = blessed
+
+    draw = jax.jit(
+        lambda r, s, v: model.draw_samples(
+            params, r, batch_size=N_REPS, n_sampling_steps=N_SAMPLING_STEPS,
+            s_conditioning=s, v_conditionings=v,
+        )
+    )
+    gts, conds, gens = [], [], []
+    for i, batch in enumerate(dm.test_dataloader()):
+        if i >= N_BOXES:
+            break
+        cond = jnp.asarray(batch["conditioning"])
+        v = [jnp.broadcast_to(jnp.asarray(a), (N_REPS,) + a.shape[1:])
+             for a in batch["conditioning_values"]]
+        s = jnp.broadcast_to(cond, (N_REPS,) + cond.shape[1:])
+        gen = draw(jax.random.PRNGKey(1000 + i), s, v)
+        gens.append(np.moveaxis(to_np(gen), -1, 1))
+        gts.append(np.moveaxis(np.asarray(batch["x"]), -1, 1))
+        conds.append(np.moveaxis(np.asarray(batch["conditioning"]), -1, 1))
+    return (np.concatenate(gens).astype(np.float32),
+            np.concatenate(gts).astype(np.float32),
+            np.concatenate(conds).astype(np.float32))
+
+
+def test_power_spectrum_band(samples_and_gt):
+    """Mean sample P(k) within [0.5, 2.0] of the GT P(k) at every k bin to
+    Nyquist (blessed run: ratio in [0.83, 1.13])."""
+    gen, gt, _ = samples_and_gt
+    _, pk_gen, _ = spectra.power(jnp.asarray(gen))
+    _, pk_gt, _ = spectra.power(jnp.asarray(gt))
+    ratio = to_np(pk_gen / pk_gt)
+    assert np.all(ratio > 0.5) and np.all(ratio < 2.0), f"P(k) ratio {ratio}"
+
+
+def test_logpdf_overlap(samples_and_gt):
+    """>= 0.9 overlap of the normalized pixel-value histograms (blessed run:
+    0.97)."""
+    gen, gt, _ = samples_and_gt
+    bins = np.linspace(-4.0, 4.0, 51)
+    h_gen, _ = np.histogram(gen, bins=bins, density=True)
+    h_gt, _ = np.histogram(gt, bins=bins, density=True)
+    dx = bins[1] - bins[0]
+    overlap = 1.0 - 0.5 * np.abs(h_gen - h_gt).sum() * dx
+    assert overlap >= 0.9, f"log-PDF overlap {overlap:.3f}"
+
+
+def test_cross_correlation_floor(samples_and_gt):
+    """Posterior samples track their own GT box on the conditioning-
+    determined scales: r(k) averaged over the lowest quarter of k bins
+    >= 0.7 for every sample (blessed run: min 0.87)."""
+    gen, gt, _ = samples_and_gt
+    gt_rep = np.repeat(gt, N_REPS, axis=0)
+    ks, ccs = spectra.get_ccs(jnp.asarray(gen), jnp.asarray(gt_rep))
+    ccs = to_np(ccs)
+    n_low = max(1, ccs.shape[-1] // 4)
+    low_k = ccs[:, :n_low].mean(axis=1)
+    assert np.all(low_k >= 0.7), f"low-k r(k) per sample: {low_k}"
+
+
+def test_posterior_spread_nonzero(samples_and_gt):
+    """The sampler is not collapsed: posterior reps for the same box differ
+    (std over reps > 5% of the field std) — guards against a broken rng
+    thread wiring all reps to one draw."""
+    gen, _, _ = samples_and_gt
+    gen = gen.reshape(N_BOXES, N_REPS, *gen.shape[1:])
+    spread = gen.std(axis=1).mean()
+    assert spread > 0.05 * gen.std(), f"posterior spread {spread:.4f}"
+
+
+if __name__ == "__main__":
+    # calibration mode: print the metrics without asserting
+    import sys
+
+    entry = (yaml.safe_load(open(REGISTRY)) or {}).get(NAME) or {}
+    ckpt_dir = os.path.join(REPO, entry.get("ckpt_dir", ""))
+    if not os.path.isdir(ckpt_dir):
+        sys.exit(f"no blessed ckpt at {ckpt_dir}")
+    from vdm4cdm_tpu.train.checkpoint import load_params
+
+    cfg = get_preset(entry.get("preset", NAME))
+    model = build_model(cfg)
+    template = model.init_params(jax.random.PRNGKey(0))
+    params = load_params(ckpt_dir, template, step=entry.get("ckpt_step"))
+    dm = build_datamodule(cfg, stage="test")
+
+    draw = jax.jit(
+        lambda r, s, v: model.draw_samples(
+            params, r, batch_size=N_REPS, n_sampling_steps=N_SAMPLING_STEPS,
+            s_conditioning=s, v_conditionings=v,
+        )
+    )
+    gts, gens = [], []
+    for i, batch in enumerate(dm.test_dataloader()):
+        if i >= N_BOXES:
+            break
+        cond = jnp.asarray(batch["conditioning"])
+        v = [jnp.broadcast_to(jnp.asarray(a), (N_REPS,) + a.shape[1:])
+             for a in batch["conditioning_values"]]
+        s = jnp.broadcast_to(cond, (N_REPS,) + cond.shape[1:])
+        gen = draw(jax.random.PRNGKey(1000 + i), s, v)
+        gens.append(np.moveaxis(to_np(gen), -1, 1))
+        gts.append(np.moveaxis(np.asarray(batch["x"]), -1, 1))
+    gen = np.concatenate(gens).astype(np.float32)
+    gt = np.concatenate(gts).astype(np.float32)
+
+    _, pk_gen, _ = spectra.power(jnp.asarray(gen))
+    _, pk_gt, _ = spectra.power(jnp.asarray(gt))
+    print("P(k) ratio:", to_np(pk_gen / pk_gt))
+    bins = np.linspace(-4.0, 4.0, 51)
+    h_gen, _ = np.histogram(gen, bins=bins, density=True)
+    h_gt, _ = np.histogram(gt, bins=bins, density=True)
+    print("logpdf overlap:", 1.0 - 0.5 * np.abs(h_gen - h_gt).sum() * (bins[1] - bins[0]))
+    gt_rep = np.repeat(gt, N_REPS, axis=0)
+    _, ccs = spectra.get_ccs(jnp.asarray(gen), jnp.asarray(gt_rep))
+    ccs = to_np(ccs)
+    n_low = max(1, ccs.shape[-1] // 4)
+    print("low-k r(k) per sample:", ccs[:, :n_low].mean(axis=1))
+    g = gen.reshape(N_BOXES, N_REPS, *gen.shape[1:])
+    print("posterior spread:", g.std(axis=1).mean(), "field std:", gen.std())

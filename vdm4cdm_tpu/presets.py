@@ -97,6 +97,23 @@ PRESETS: dict[str, ExperimentConfig] = {
         run=RunConfig(max_steps=100, val_check_interval=50, ckpt_every_steps=100,
                       learning_rate=2e-3),
     ),
+    # ---- blessed in-repo run: the registry-chain proof. Trained to real
+    # convergence on the synthetic GRF substrate (no CAMELS data exists in
+    # this environment), blessed in configs/models.yaml, and consumed by
+    # vdm4cdm-generate / calc_ss from the registry name alone — the role the
+    # reference's configs.yaml entries (configs.yaml:3) play with CAMELS
+    # checkpoints on its cluster. 3D so the calc_ss statistics (depth
+    # projections, 3D P(k)) carry their reference semantics.
+    # tests/test_acceptance.py gates sample quality (P(k) band, log-PDF
+    # overlap, r(k) floor) against this entry.
+    "VDM_GRF_c_c_32": ExperimentConfig(
+        model=ModelConfig(family="vdm", ndim=3, chs=(16, 32, 48, 64)),
+        data=DataConfig(kind="grf", cropsize=32, batch_size=8),
+        # lr: the 3e-4 default — 1e-3 diverged to NaN at ~step 1500 on this
+        # exact config (round-4 training log), 3e-4 is stable to convergence
+        run=RunConfig(max_steps=8000, val_check_interval=2000,
+                      ckpt_every_steps=2000),
+    ),
 }
 
 # configs.yaml model-registry aliases (reference configs.yaml:1-217)
