@@ -5,6 +5,9 @@
 test:
 	python -m pytest tests/ -q
 
+# fast tier: unit/math tests only — interpret-mode kernel suites, process
+# spawns, and e2e drives are marked `slow`; in-file sharded classes are
+# excluded by name. Budget: < 5 min green on a warm-cache 1-CPU host.
 test-fast:
 	python -m pytest tests/ -q -x -m "not slow" -k "not Sharded and not sharded"
 

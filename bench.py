@@ -29,9 +29,10 @@ Env knobs:
   5 full-resolution L0 ResBlocks + bf16 Adam first moment — fits the 16 GB
   chip with the packed-carrier memory savings and skips most of the remat
   re-forward; falls back to full remat ("1") automatically if the blocks
-  config OOMs), BENCH_MODE (train|sample — sample reports seconds per
-  sampled field at 250 ancestral steps, the reference's generation unit
-  cost, BASELINE.md "sample sec/field at 128^3").
+  config OOMs), BENCH_MODE (train|sample — sample reports ONLY the
+  seconds-per-sampled-field line; the default train mode ALSO appends the
+  250-step sample_sec_per_field_{size} measurement to its JSON record so one
+  invocation covers both BASELINE.md target metrics; BENCH_SAMPLE=0 skips it).
 """
 
 import json
@@ -101,7 +102,12 @@ def main():
 
     params = init_params()
 
-    if os.environ.get("BENCH_MODE", "train") == "sample":
+    def measure_sample(params):
+        """Seconds per sampled field, 250 ancestral steps at full resolution —
+        the reference's generation unit cost (BASELINE.md targets row "sample
+        sec/field at 128^3"; reference loop src/utils.py:277 / test.ipynb).
+        Reference estimate: 250 UNet fwd at ~0.27 s => ~67 s/field on A100
+        (same uncertainty caveat as the train baseline)."""
         n_sampling_steps = int(os.environ.get("BENCH_SAMPLE_STEPS", 250))
         rng = np.random.default_rng(0)
         cond = jnp.asarray(rng.standard_normal((1, size, size, size, 1), np.float32))
@@ -115,9 +121,10 @@ def main():
         out = fn(params, jax.random.PRNGKey(2))
         float(out.ravel()[0])
         dt = time.perf_counter() - t0
-        # reference unit cost: one 250-step sampled field on one GPU. Estimated
-        # reference: 250 UNet fwd at ~0.27 s => ~67 s/field on A100 (same
-        # uncertainty caveat as the train baseline).
+        return dt, n_sampling_steps
+
+    if os.environ.get("BENCH_MODE", "train") == "sample":
+        dt, n_sampling_steps = measure_sample(params)
         print(json.dumps({
             "metric": f"sample_sec_per_field_vdm3d_c_c_{size}_{n_sampling_steps}steps",
             "value": round(dt, 3),
@@ -193,7 +200,7 @@ def main():
     value = float(np.median(window_vox_s))
     spread = (max(window_vox_s) - min(window_vox_s)) / value
     baseline = BASELINE_VOX_S
-    print(json.dumps({
+    record = {
         "metric": f"train_voxels_per_sec_per_chip_vdm3d_c_c_{size}",
         "value": round(value, 1),
         "unit": "voxels/s",
@@ -201,7 +208,23 @@ def main():
         "windows_vox_s": [round(v, 1) for v in window_vox_s],
         "drift_spread": round(spread, 3),
         "remat": remat_mode,
-    }))
+        # single-chip environment: sp/dp scaling exists as code + virtual-mesh
+        # correctness (tests/test_sharded_*, MULTICHIP_r*.json) — ICI
+        # halo-overlap throughput remains unmeasured until multi-chip hardware
+        "multichip_perf": "pending (no multi-chip hardware in this environment)",
+    }
+    # The generation unit cost rides along in the same JSON line so every
+    # round artifact records BOTH target metrics (BASELINE.md targets row;
+    # VERDICT r4 weak #3). BENCH_SAMPLE=0 opts out.
+    if os.environ.get("BENCH_SAMPLE", "1") != "0":
+        try:
+            dt, n_sampling_steps = measure_sample(state.params)
+            record[f"sample_sec_per_field_{size}"] = round(dt, 3)
+            record["sample_steps"] = n_sampling_steps
+            record["sample_vs_baseline"] = round(67.0 / dt, 3)
+        except Exception as e:  # sampling must not sink the train metric
+            record["sample_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

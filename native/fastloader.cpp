@@ -221,7 +221,8 @@ void fastloader_crop2d_batch(const float* const* stacks, int nchan,
 // buffered pread when O_DIRECT open fails (tmpfs/overlayfs), so callers can
 // use it unconditionally.
 //
-// Returns 0 on success, -1 open failure, -2 short read / IO error.
+// Returns 0 on success, -1 open failure, -2 short read / IO error,
+// -3 allocation failure.
 extern "C" int fastloader_read_direct(const char* path, int64_t byte_offset,
                                       int64_t nbytes, void* out,
                                       int nthreads) {
@@ -253,7 +254,7 @@ extern "C" int fastloader_read_direct(const char* path, int64_t byte_offset,
     void* buf = nullptr;
     if (posix_memalign(&buf, kAlign, kChunk + 2 * kAlign) != 0) {
       close(fd);
-      err.store(-2);
+      err.store(-3);  // distinct from -2: ENOMEM, not an IO error
       return;
     }
     for (;;) {
@@ -278,6 +279,12 @@ extern "C" int fastloader_read_direct(const char* path, int64_t byte_offset,
         }
         if (r == 0) break;  // EOF: O_DIRECT tail may legally stop at file end
         got += r;
+        // A non-EOF short read can land mid-block; continuing from an
+        // unaligned buf/offset under O_DIRECT fails with EINVAL. Round the
+        // resume point down to the block boundary and re-read the partial
+        // block instead.
+        if (direct && got < need && (got & (kAlign - 1)) != 0)
+          got &= ~(kAlign - 1);
       }
       if (got < lead + want) {
         if (err.load() == 0) err.store(-2);

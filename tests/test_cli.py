@@ -8,6 +8,10 @@ import pytest
 
 from vdm4cdm_tpu.cli import calc_ss, generate, train
 
+# heavy tier: interpreter-mode kernels / process spawns / e2e drives dominate
+# 1-CPU wall time; `make test-fast` excludes them (round-4 VERDICT weak #4)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained_run(tmp_path_factory):

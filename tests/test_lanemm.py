@@ -12,9 +12,9 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 # See test_pallas_conv3d.py: interpret-mode oracle tests stay on CPU.
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     os.environ.get("VDM4CDM_TEST_TPU") == "1",
-    reason="interpret-mode oracle test (CPU)")
+    reason="interpret-mode oracle test (CPU)")]
 
 import vdm4cdm_tpu.ops.conv as convmod
 from vdm4cdm_tpu.ops.conv import conv_nd, conv_packed

@@ -9,9 +9,9 @@ import pytest
 from vdm4cdm_tpu.data import native
 from vdm4cdm_tpu.data.transforms import FieldNormalizer, periodic_crop
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not native.available(), reason="native fastloader unavailable (no g++?)"
-)
+)]
 
 
 def _python_reference(stacks, sim_idx, anchors, flips, perms, crop, fn=None):

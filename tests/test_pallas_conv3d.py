@@ -14,9 +14,9 @@ from jax.experimental.pallas import tpu as pltpu
 # never finishes (and a wedged compile blocks the tunneled device for every
 # other process). Real-hardware kernel coverage comes from the real-path
 # tests (test_packed CUNet, fused-norm dropout) and experiments' probes.
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     os.environ.get("VDM4CDM_TEST_TPU") == "1",
-    reason="interpret-mode oracle test (CPU); see module docstring")
+    reason="interpret-mode oracle test (CPU); see module docstring")]
 
 from vdm4cdm_tpu.ops.conv import conv_nd
 from vdm4cdm_tpu.ops.pallas.conv3d import (
@@ -41,6 +41,7 @@ CASES = [
     (4, 8, 8, 64, 64),   # pack 2
     (3, 8, 8, 96, 32),   # pack 4 (decoder concat width), 384-lane rows
     (3, 8, 8, 128, 64),  # pack 1
+    (2, 4, 64, 16, 16),  # Wp=8: the 8-aligned concat edge-GEMM path
 ]
 
 

@@ -21,6 +21,10 @@ from vdm4cdm_tpu.ops.pallas.fused_norm import fused_norm_affine_cp
 from vdm4cdm_tpu.parallel import ShardCtx
 from vdm4cdm_tpu.utils import make_mesh
 
+# heavy tier: interpreter-mode kernels / process spawns / e2e drives dominate
+# 1-CPU wall time; `make test-fast` excludes them (round-4 VERDICT weak #4)
+pytestmark = pytest.mark.slow
+
 
 def _rand(key, shape):
     return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)

@@ -20,6 +20,12 @@ from vdm4cdm_tpu.parallel.sampling import (
 )
 from vdm4cdm_tpu.utils.mesh import AXES, make_mesh
 
+import pytest
+
+# heavy tier: interpreter-mode kernels / process spawns / e2e drives dominate
+# 1-CPU wall time; `make test-fast` excludes them (round-4 VERDICT weak #4)
+pytestmark = pytest.mark.slow
+
 KW = dict(chs=(8, 8, 8, 8), norm_groups=4, dropout_prob=0.0,
           conv_padding_mode="circular", s_conditioning_channels=0,
           v_conditioning_dims=(6,))

@@ -14,6 +14,12 @@ from vdm4cdm_tpu.utils.mesh import AXES, make_mesh
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+import pytest
+
+# heavy tier: interpreter-mode kernels / process spawns / e2e drives dominate
+# 1-CPU wall time; `make test-fast` excludes them (round-4 VERDICT weak #4)
+pytestmark = pytest.mark.slow
+
 
 def _setup(mesh, ctx, size=32, batch=4):
     # size 32 over n_sp=4 -> local shard 8, divisible by 2^3 (3 downsamples)

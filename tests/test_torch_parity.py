@@ -26,6 +26,10 @@ from vdm4cdm_tpu.diffusion.schedule import alpha_sigma
 from vdm4cdm_tpu.interop.torch_convert import params_from_torch
 from vdm4cdm_tpu.models import CUNet
 
+# heavy tier: interpreter-mode kernels / process spawns / e2e drives dominate
+# 1-CPU wall time; `make test-fast` excludes them (round-4 VERDICT weak #4)
+pytestmark = pytest.mark.slow
+
 
 def _numpy_sd(module):
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}

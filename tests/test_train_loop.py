@@ -224,3 +224,49 @@ class TestLRSchedule:
         assert abs(float(sched(10_000)) - 3e-4) < 1e-9
         flat = make_lr_schedule(3e-4, warmup_steps=0)
         assert abs(float(flat(7)) - 3e-4) < 1e-12
+
+
+class TestCometLogger:
+    """Remote-tracking logger (reference train_uc_uc_from_field_name.py:30-35
+    equivalent): full call-surface test against a fake comet_ml module —
+    the real package (and network egress) doesn't exist here, so the gate
+    must report unavailable and the logger must drive the documented API."""
+
+    class _FakeExperiment:
+        def __init__(self, **kw):
+            self.kw = kw
+            self.metrics, self.figures, self.name, self.ended = [], [], None, False
+
+        def set_name(self, name):
+            self.name = name
+
+        def log_metrics(self, scalars, step=None):
+            self.metrics.append((step, dict(scalars)))
+
+        def log_figure(self, figure_name=None, figure=None, step=None):
+            self.figures.append((step, figure_name))
+
+        def end(self):
+            self.ended = True
+
+    def test_unavailable_without_package(self):
+        from vdm4cdm_tpu.train.loggers import CometLogger
+
+        assert CometLogger.available() is False
+
+    def test_logs_scalars_and_figures(self):
+        import types
+
+        from vdm4cdm_tpu.train.loggers import CometLogger
+
+        fake = types.SimpleNamespace(Experiment=self._FakeExperiment)
+        lg = CometLogger("proj", "exp-1", workspace="w", comet_module=fake)
+        exp = lg._exp
+        assert exp.name == "exp-1"
+        assert exp.kw == {"project_name": "proj", "workspace": "w"}
+        lg.log_scalars(10, {"loss": 1.5, "lr": 3e-4})
+        assert exp.metrics == [(10, {"loss": 1.5, "lr": 3e-4})]
+        lg.log_figure(10, "validation", fig="FIG")
+        assert exp.figures == [(10, "validation_00000010")]
+        lg.close()
+        assert exp.ended

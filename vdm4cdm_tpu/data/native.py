@@ -88,8 +88,13 @@ def read_npy_direct(path: str, nthreads: int = 0) -> np.ndarray:
     lib = load_library()
     assert lib is not None, "native fastloader unavailable"
     with open(path, "rb") as f:
+        # public header readers dispatched on the magic version (the private
+        # _read_array_header signature is not stable across numpy releases)
         version = np.lib.format.read_magic(f)
-        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        if version >= (2, 0):
+            shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
+        else:
+            shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
         offset = f.tell()
     if fortran:
         raise ValueError(f"{path}: Fortran-order .npy unsupported by direct IO")

@@ -96,7 +96,9 @@ def _xla_group_norm_stats(x, groups, eps, ctx):
         s2 = jax.lax.psum(s2, ctx.axis)
         count = count * ctx.axis_size()
     mean = s1 / count
-    var = s2 / count - mean * mean
+    # two-pass variance: f32 cancellation for near-constant groups can
+    # push it below zero and NaN the rsqrt — clamp (true var >= 0)
+    var = jnp.maximum(s2 / count - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     return mean, inv
 

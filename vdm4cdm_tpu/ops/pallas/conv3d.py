@@ -87,8 +87,14 @@ def _pack_factor(W: int, C: int):
     return None
 
 
+def _edge_cache_len(rows: int, Wp: int) -> int:
+    """Sublane-padded length of the per-slot edge cache (rows + 2*Wp window
+    rows, see _fill_edge_cache)."""
+    return -(-(rows + 2 * Wp) // 8) * 8
+
+
 def _tile_bytes(dT: int, rows: int, O: int, p: int, C: int, Cout: int,
-                itemsize: int, stats: bool = False):
+                itemsize: int, stats: bool = False, cache_Wp: int = 0):
     slots = (2 * dT + 2) * (rows + 2 * O) * p * C * itemsize
     acc = rows * p * Cout * 4
     edges = 2 * rows * 3 * C * itemsize
@@ -100,6 +106,10 @@ def _tile_bytes(dT: int, rows: int, O: int, p: int, C: int, Cout: int,
     if stats:
         # bias-added f32 block + the squared temp feeding the sums reduction
         temps += 2 * rows * p * Cout * 4
+    if cache_Wp:
+        # per-slot precomputed lo/hi edge columns (ring-resident, see
+        # _fill_edge_cache): 2 buffers of (2*dT+2, cache_len, C)
+        slots += 2 * (2 * dT + 2) * _edge_cache_len(rows, cache_Wp) * C * itemsize
     return slots + acc + edges + out_blk + wq + temps
 
 
@@ -127,6 +137,23 @@ def _geometry(D: int, H: int, W: int, C: int, Cout: int, itemsize: int = 2,
         if _tile_bytes(cand, rows, O, p, C, Cout, itemsize, stats) <= _VMEM_BUDGET:
             dT = cand
     return p, Wp, dT
+
+
+_EDGE_CACHE_ENV = _os.environ.get("VDM4CDM_CONV_EDGE_CACHE", "auto")
+
+
+def _use_edge_cache(dT: int, rows: int, O: int, Wp: int, p: int, C: int,
+                    Cout: int, itemsize: int, stats: bool) -> bool:
+    """Per-slot edge-operand caching (see _fill_edge_cache): ON whenever the
+    extra ring scratch still fits the VMEM budget at the SAME dT — the cache
+    must never shrink the plane block (a smaller dT costs more than the
+    cached selects save). Env A/B: VDM4CDM_CONV_EDGE_CACHE=0|1|auto."""
+    if _EDGE_CACHE_ENV == "0":
+        return False
+    if _EDGE_CACHE_ENV == "1":
+        return True
+    return _tile_bytes(dT, rows, O, p, C, Cout, itemsize, stats,
+                       cache_Wp=Wp) <= _VMEM_BUDGET
 
 
 def supports(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...], stride,
@@ -242,8 +269,44 @@ def _zero_overlap(slots_ref, slot, O, rows):
     slots_ref[slot, O + rows:, :] = jnp.zeros_like(slots_ref[slot, O + rows:, :])
 
 
+def _fill_edge_cache(slots_ref, elo_ref, ehi_ref, sl, *, O, Wp, p, C, rows,
+                     zeros):
+    """Precompute one plane's cross-row edge operands ONCE into ring-resident
+    scratch (the plane is re-read by up to 3 consuming output blocks as
+    dz = 0/1/2 — computing the operands at consume time re-did the iota +
+    masked selects 3x per plane: the 'VPU edge fill' cost of ROADMAP item 2).
+
+    Layout: index k holds the operand for OUTPUT window row r = k + O - Wp,
+    k in [0, rows + 2*Wp) — the union of the 3 dy parts' row ranges; the
+    consume-side operand for dy part ``dyi`` is the STATIC slice
+    [dyi*Wp, dyi*Wp + rows), so the hot loop does no selects at all.
+      lo[k] = slots[r-1, last lane block]  (slot j=0's w-1 voxel), helical
+              wrap fixed where k % Wp == 0 -> slots[r-1+Wp] (zeros mode: 0);
+      hi[k] = slots[r+1, first lane block] (slot j=p-1's w+1 voxel), fixed
+              where k % Wp == Wp-1 -> slots[r+1-Wp] (zeros mode: 0)."""
+    Lw = rows + 2 * Wp
+    lanes_last = slice((p - 1) * C, p * C)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (Lw, C), 0) % Wp
+    lo = slots_ref[sl, O - Wp - 1:O + Wp + rows - 1, lanes_last]
+    if zeros:
+        lo = jnp.where(kcol == 0, 0, lo)
+    else:
+        lo = jnp.where(
+            kcol == 0,
+            slots_ref[sl, O - 1:O + 2 * Wp + rows - 1, lanes_last], lo)
+    elo_ref[sl, 0:Lw, :] = lo
+    hi = slots_ref[sl, O - Wp + 1:O + Wp + rows + 1, 0:C]
+    if zeros:
+        hi = jnp.where(kcol == Wp - 1, 0, hi)
+    else:
+        hi = jnp.where(
+            kcol == Wp - 1,
+            slots_ref[sl, O - 2 * Wp + 1:O + rows + 1, 0:C], hi)
+    ehi_ref[sl, 0:Lw, :] = hi
+
+
 def _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd, *, dT, O, D, rows,
-                  zeros, zmode="wrap"):
+                  zeros, zmode="wrap", edge=None):
     """Ring-buffered window management for grid step (b, dd); returns nothing,
     leaves block dd's dT+2 windows ready in slots (dd*dT + pz) mod R.
 
@@ -259,7 +322,11 @@ def _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd, *, dT, O, D, rows,
     zmode: "wrap" — logical plane g reads input plane g mod D (periodic z, or
     zeros z via _dz_pred skipping); "halo" — the input carries D+2 planes
     (pre-exchanged z halos, parallel/halo.py), logical plane g reads input
-    plane g+1 and no plane ever wraps or is skipped."""
+    plane g+1 and no plane ever wraps or is skipped.
+
+    edge: optional (elo_ref, ehi_ref, Wp, p, C) — fill each newly arrived
+    plane's edge-operand cache right after its DMA lands (and after the
+    zeros-mode overlap zeroing, which the fill reads)."""
     R = 2 * dT + 2
 
     def copies_for(block, pz):
@@ -268,6 +335,14 @@ def _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd, *, dT, O, D, rows,
         slot = jax.lax.rem(block * dT + pz, R)
         return _plane_copies(xq_ref, slots_ref, sems, b, dplane, slot,
                              O=O, rows=rows)
+
+    def fill_edges(pz):
+        if edge is None:
+            return
+        elo_ref, ehi_ref, Wp, p, C = edge
+        _fill_edge_cache(slots_ref, elo_ref, ehi_ref,
+                         jax.lax.rem(dd * dT + pz, R),
+                         O=O, Wp=Wp, p=p, C=C, rows=rows, zeros=zeros)
 
     # prefetch the NEXT block's dT new planes first (targets are disjoint
     # from everything read or awaited this step)
@@ -288,6 +363,8 @@ def _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd, *, dT, O, D, rows,
         if zeros:
             for pz in range(dT + 2):
                 _zero_overlap(slots_ref, jax.lax.rem(dd * dT + pz, R), O, rows)
+        for pz in range(dT + 2):
+            fill_edges(pz)
 
     @pl.when(dd > 0)
     def _steady():
@@ -297,6 +374,8 @@ def _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd, *, dT, O, D, rows,
         if zeros:
             for pz in range(2, dT + 2):
                 _zero_overlap(slots_ref, jax.lax.rem(dd * dT + pz, R), O, rows)
+        for pz in range(2, dT + 2):
+            fill_edges(pz)
 
 
 def _dz_pred(dd, di, dz, dT, n_dd, zeros, zmode="wrap"):
@@ -360,11 +439,12 @@ def _edge_operands_dz(slots_ref, sl, *, O, Wp, p, C, rows, zeros):
 
 
 def _fwd_kernel(*refs, dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap",
-                has_bias=False, with_stats=False):
-    # positional refs vary with the (static) has_bias/with_stats flags:
+                has_bias=False, with_stats=False, edge_cache=False):
+    # positional refs vary with the (static) has_bias/with_stats/edge_cache
+    # flags:
     #   inputs:  xq, wq, wlo, whi, [bias]
     #   outputs: out, [sums]
-    #   scratch: slots, sems, acc, [sacc]
+    #   scratch: slots, sems, acc, [sacc], [elo, ehi]
     it = iter(refs)
     xq_ref, wq_ref, wlo_ref, whi_ref = (next(it) for _ in range(4))
     bias_ref = next(it) if has_bias else None
@@ -372,12 +452,14 @@ def _fwd_kernel(*refs, dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap",
     sums_ref = next(it) if with_stats else None
     slots_ref, sems, acc_ref = (next(it) for _ in range(3))
     sacc_ref = next(it) if with_stats else None
+    edge = ((next(it), next(it), Wp, p, C) if edge_cache else None)
 
     b, dd = pl.program_id(0), pl.program_id(1)
     n_dd = pl.num_programs(1)
     R = 2 * dT + 2
     _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd,
-                  dT=dT, O=O, D=D, rows=rows, zeros=zeros, zmode=zmode)
+                  dT=dT, O=O, D=D, rows=rows, zeros=zeros, zmode=zmode,
+                  edge=edge)
     if with_stats:
         @pl.when(dd == 0)
         def _():
@@ -389,9 +471,16 @@ def _fwd_kernel(*refs, dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap",
 
             def chunk(_dz=dz):
                 sl = jax.lax.rem(dd * dT + di + _dz, R)
-                elo, ehi = _edge_operands_dz(
-                    slots_ref, sl, O=O, Wp=Wp, p=p, C=C, rows=rows,
-                    zeros=zeros)
+                if edge_cache:
+                    elo_ref, ehi_ref = edge[0], edge[1]
+                    elo = [elo_ref[sl, dyi * Wp:dyi * Wp + rows, :]
+                           for dyi in range(3)]
+                    ehi = [ehi_ref[sl, dyi * Wp:dyi * Wp + rows, :]
+                           for dyi in range(3)]
+                else:
+                    elo, ehi = _edge_operands_dz(
+                        slots_ref, sl, O=O, Wp=Wp, p=p, C=C, rows=rows,
+                        zeros=zeros)
                 if Wp % 8 == 0:  # equal sublane offsets: one K=3C GEMM
                     elo = [jnp.concatenate(elo, axis=1)]
                     ehi = [jnp.concatenate(ehi, axis=1)]
@@ -434,10 +523,13 @@ def _fwd_kernel(*refs, dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap",
             sums_ref[0, :, :] = sacc_ref[:, :]
 
 
-def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref, dbl_ref,
-               slots_ref, sems,
-               accq_ref, acclo_ref, acchi_ref, accb_ref, *,
-               dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap"):
+def _dw_kernel(*refs, dT, O, D, Wp, p, C, Cout, rows, zeros, zmode="wrap",
+               edge_cache=False):
+    it = iter(refs)
+    (xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref, dbl_ref,
+     slots_ref, sems,
+     accq_ref, acclo_ref, acchi_ref, accb_ref) = (next(it) for _ in range(12))
+    edge = ((next(it), next(it), Wp, p, C) if edge_cache else None)
     b, dd = pl.program_id(0), pl.program_id(1)
     n_dd = pl.num_programs(1)
     R = 2 * dT + 2
@@ -450,7 +542,8 @@ def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref, dbl_ref,
         accb_ref[:, :] = jnp.zeros_like(accb_ref)
 
     _ring_windows(xq_ref, slots_ref, sems, b, dd, n_dd,
-                  dT=dT, O=O, D=D, rows=rows, zeros=zeros, zmode=zmode)
+                  dT=dT, O=O, D=D, rows=rows, zeros=zeros, zmode=zmode,
+                  edge=edge)
     for di in range(dT):
         ct = ct_ref[0, di]
         # bias gradient rides along: per-lane column sums of ct, folded to
@@ -464,9 +557,16 @@ def _dw_kernel(xq_ref, ct_ref, dwq_ref, dwlo_ref, dwhi_ref, dbl_ref,
 
             def chunk(_dz=dz):
                 sl = jax.lax.rem(dd * dT + di + _dz, R)
-                elo, ehi = _edge_operands_dz(
-                    slots_ref, sl, O=O, Wp=Wp, p=p, C=C, rows=rows,
-                    zeros=zeros)
+                if edge_cache:
+                    elo_ref, ehi_ref = edge[0], edge[1]
+                    elo = [elo_ref[sl, dyi * Wp:dyi * Wp + rows, :]
+                           for dyi in range(3)]
+                    ehi = [ehi_ref[sl, dyi * Wp:dyi * Wp + rows, :]
+                           for dyi in range(3)]
+                else:
+                    elo, ehi = _edge_operands_dz(
+                        slots_ref, sl, O=O, Wp=Wp, p=p, C=C, rows=rows,
+                        zeros=zeros)
                 for dyi in range(3):
                     base = O + (dyi - 1) * Wp
                     accq_ref[_dz * 3 + dyi] += jax.lax.dot_general(
@@ -532,10 +632,13 @@ def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial, zmode="wrap",
     rows = H * Wp
     wq, wlo, whi = _pack_weights(w, p, xq.dtype)
     has_bias = bias is not None
+    edge_cache = _use_edge_cache(dT, rows, O, Wp, p, C, Cout,
+                                 xq.dtype.itemsize, with_stats)
 
     kernel = functools.partial(
         _fwd_kernel, dT=dT, O=O, D=D, Wp=Wp, p=p, C=C, Cout=Cout, rows=rows,
-        zeros=zeros, zmode=zmode, has_bias=has_bias, with_stats=with_stats)
+        zeros=zeros, zmode=zmode, has_bias=has_bias, with_stats=with_stats,
+        edge_cache=edge_cache)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((9, p * C, p * Cout), lambda b, dd: (0, 0, 0),
@@ -565,6 +668,10 @@ def _conv_pallas_raw_packed(xq, w, padding_mode: str, spatial, zmode="wrap",
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, 2, p * Cout), jnp.float32))
         scratch.append(pltpu.VMEM((2, p * Cout), jnp.float32))
+    if edge_cache:
+        Lc = _edge_cache_len(rows, Wp)
+        scratch.append(pltpu.VMEM((2 * dT + 2, Lc, C), xq.dtype))
+        scratch.append(pltpu.VMEM((2 * dT + 2, Lc, C), xq.dtype))
     res = pl.pallas_call(
         kernel,
         grid=(B, D // dT),
@@ -606,10 +713,24 @@ def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None,
     rows = H * Wp
     xq = x.reshape(B, D_in, rows, p * C)  # free view, no copy
     ctq = ct.astype(x.dtype).reshape(B, D, rows, p * Cout)
+    edge_cache = _use_edge_cache(dT, rows, O, Wp, p, C, Cout,
+                                 x.dtype.itemsize, False)
 
     kernel = functools.partial(
         _dw_kernel, dT=dT, O=O, D=D, Wp=Wp, p=p, C=C, Cout=Cout, rows=rows,
-        zeros=zeros, zmode=zmode)
+        zeros=zeros, zmode=zmode, edge_cache=edge_cache)
+    scratch = [
+        pltpu.VMEM((2 * dT + 2, rows + 2 * O, p * C), x.dtype),
+        pltpu.SemaphoreType.DMA((2 * dT + 2, 3)),
+        pltpu.VMEM((9, p * C, p * Cout), jnp.float32),
+        pltpu.VMEM((9 * C, Cout), jnp.float32),
+        pltpu.VMEM((9 * C, Cout), jnp.float32),
+        pltpu.VMEM((1, p * Cout), jnp.float32),
+    ]
+    if edge_cache:
+        Lc = _edge_cache_len(rows, Wp)
+        scratch.append(pltpu.VMEM((2 * dT + 2, Lc, C), x.dtype))
+        scratch.append(pltpu.VMEM((2 * dT + 2, Lc, C), x.dtype))
     dwq, dwlo, dwhi, dbl = pl.pallas_call(
         kernel,
         grid=(B, D // dT),
@@ -634,14 +755,7 @@ def _conv_pallas_dw(x, ct, padding_mode: str, w_dtype, p_override=None,
             jax.ShapeDtypeStruct((9 * C, Cout), jnp.float32),
             jax.ShapeDtypeStruct((1, p * Cout), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2 * dT + 2, rows + 2 * O, p * C), x.dtype),
-            pltpu.SemaphoreType.DMA((2 * dT + 2, 3)),
-            pltpu.VMEM((9, p * C, p * Cout), jnp.float32),
-            pltpu.VMEM((9 * C, Cout), jnp.float32),
-            pltpu.VMEM((9 * C, Cout), jnp.float32),
-            pltpu.VMEM((1, p * Cout), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(

@@ -145,7 +145,10 @@ def _fwd_kernel(seed_ref, x_ref, a_ref, b_ref, o_ref, stats_ref, acc_ref, *,
         s1 = jnp.dot(acc_ref[0:1, :], fold, preferred_element_type=jnp.float32)
         s2 = jnp.dot(acc_ref[1:2, :], fold, preferred_element_type=jnp.float32)
         mean_g = s1 / count
-        var_g = s2 / count - mean_g * mean_g
+        # f32 cancellation can drive the two-pass variance slightly
+        # negative for near-constant groups (mean^2 >> var), and
+        # rsqrt(var + eps) then NaNs the whole tensor — clamp to 0
+        var_g = jnp.maximum(s2 / count - mean_g * mean_g, 0.0)
         r_g = jax.lax.rsqrt(var_g + eps)
         # broadcast back to lanes and persist for the tiles of this sweep
         acc_ref[0:1, :] = jnp.dot(mean_g, fold.T, preferred_element_type=jnp.float32)
@@ -575,7 +578,8 @@ def _finalize_stats(sums, C, groups, eps, count):
     s1g = sums[:, 0] @ fold
     s2g = sums[:, 1] @ fold
     mean_g = s1g / count
-    var_g = s2g / count - mean_g * mean_g
+    # clamp two-pass cancellation (see _fwd_kernel): var >= 0 always
+    var_g = jnp.maximum(s2g / count - mean_g * mean_g, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
     return jnp.stack([mean_g @ fold.T, inv_g @ fold.T], axis=1)
 
@@ -922,7 +926,8 @@ def _fwd_packed2(xa, xb, a, b, seed, Ca, Cb, groups, eps, act, dropout_p,
     s1g = sums_a[:, 0] @ fold_a + sums_b[:, 0] @ fold_b
     s2g = sums_a[:, 1] @ fold_a + sums_b[:, 1] @ fold_b
     mean_g = s1g / count
-    var_g = s2g / count - mean_g * mean_g
+    # clamp two-pass cancellation (see _fwd_kernel): var >= 0 always
+    var_g = jnp.maximum(s2g / count - mean_g * mean_g, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
     stats_a = jnp.stack([mean_g @ fold_a.T, inv_g @ fold_a.T], axis=1)
     stats_b = jnp.stack([mean_g @ fold_b.T, inv_g @ fold_b.T], axis=1)

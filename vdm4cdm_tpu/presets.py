@@ -109,10 +109,13 @@ PRESETS: dict[str, ExperimentConfig] = {
     "VDM_GRF_c_c_32": ExperimentConfig(
         model=ModelConfig(family="vdm", ndim=3, chs=(16, 32, 48, 64)),
         data=DataConfig(kind="grf", cropsize=32, batch_size=8),
-        # lr: the 3e-4 default — 1e-3 diverged to NaN at ~step 1500 on this
-        # exact config (round-4 training log), 3e-4 is stable to convergence
+        # lr 2e-4: on this exact config 1e-3 NaN'd at ~step 1500 (round-4
+        # log) and 3e-4 NaN'd at ~step 4225 (round-5 log; the round-5 blessed
+        # artifact is 0-4000 @ 3e-4 + auto-resume 4000-8000 @ 1.5e-4).
+        # Retraining via tools/blessed_chain.sh reproduces an equivalent-
+        # quality checkpoint, not a bit-equal one.
         run=RunConfig(max_steps=8000, val_check_interval=2000,
-                      ckpt_every_steps=2000),
+                      ckpt_every_steps=2000, learning_rate=2e-4),
     ),
 }
 

@@ -81,13 +81,28 @@ def load_params(directory: str, params_template, step: Optional[int] = None,
     opt_state, which callers like generation don't model), then maps the
     params subtree onto the template's dtypes. When the checkpoint carries an
     EMA shadow and prefer_ema is set, generation gets the EMA weights."""
-    mgr = ocp.CheckpointManager(os.path.abspath(directory))
-    if step is None:
-        step = mgr.latest_step()
-    if step is None:
-        raise FileNotFoundError(f"no checkpoint found in {directory}")
-    out = mgr.restore(step, args=ocp.args.StandardRestore())
-    mgr.close()
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        raise FileNotFoundError(f"no checkpoint directory at {directory}")
+    mgr = ocp.CheckpointManager(directory)
+    try:
+        steps = mgr.all_steps() or []
+        if step is None:
+            step = mgr.latest_step()
+        # An existing-but-empty (or foreign-content) directory must surface as
+        # "no checkpoint", not an orbax internal error — callers (generation
+        # CLI, the acceptance gate) gate on FileNotFoundError to skip cleanly.
+        if step is None or step not in steps:
+            raise FileNotFoundError(
+                f"no checkpoint for step={step} in {directory} "
+                f"(available steps: {sorted(steps)})")
+        try:
+            out = mgr.restore(step, args=ocp.args.StandardRestore())
+        except Exception as e:  # malformed payload dir → same contract
+            raise FileNotFoundError(
+                f"checkpoint at {directory} step {step} is unreadable: {e}") from e
+    finally:
+        mgr.close()
     params = out["ema_params"] if (prefer_ema and "ema_params" in out) else out["params"]
     if params_template is not None:
         params = jax.tree.map(

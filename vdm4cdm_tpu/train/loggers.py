@@ -84,6 +84,48 @@ class ConsoleLogger(Logger):
         pass
 
 
+class CometLogger(Logger):
+    """Remote experiment tracking — the 1:1 equivalent of the reference's
+    CometLogger stack (reference train_uc_uc_from_field_name.py:30-35:
+    project/experiment naming, per-step scalars, validation figures pushed
+    as images). Activates only when the ``comet_ml`` package is importable
+    and an API key is configured (COMET_API_KEY env or ~/.comet.config);
+    :func:`available` lets callers gate cleanly — this environment has no
+    network egress, so the local CSV/TensorBoard loggers remain the default.
+    """
+
+    def __init__(self, project_name: str, experiment_name: str,
+                 workspace: Optional[str] = None, comet_module=None):
+        import importlib
+
+        comet = comet_module or importlib.import_module("comet_ml")
+        self._exp = comet.Experiment(
+            project_name=project_name,
+            workspace=workspace or os.environ.get("COMET_WORKSPACE"),
+        )
+        self._exp.set_name(experiment_name)
+
+    @staticmethod
+    def available() -> bool:
+        try:
+            import comet_ml  # noqa: F401
+        except ImportError:
+            return False
+        return bool(os.environ.get("COMET_API_KEY")
+                    or os.path.exists(os.path.expanduser("~/.comet.config")))
+
+    def log_scalars(self, step, scalars):
+        self._exp.log_metrics({k: float(v) for k, v in scalars.items()},
+                              step=step)
+
+    def log_figure(self, step, name, fig):
+        self._exp.log_figure(figure_name=f"{name}_{step:08d}", figure=fig,
+                             step=step)
+
+    def close(self):
+        self._exp.end()
+
+
 class MultiLogger(Logger):
     def __init__(self, *loggers: Logger):
         self.loggers = loggers

@@ -125,10 +125,19 @@ class Trainer:
         if loggers is not None:
             self.loggers = loggers
         elif jax.process_index() == 0:
-            self.loggers = MultiLogger(
+            lgs = [
                 CSVLogger(config.out_dir, config.experiment_name),
                 ConsoleLogger(every=config.log_every_steps),
-            )
+            ]
+            # remote tracking (the reference's Comet stack) rides along when
+            # comet_ml + an API key are configured; local-first otherwise
+            from .loggers import CometLogger
+
+            if CometLogger.available():
+                lgs.append(CometLogger(
+                    project_name=os.environ.get("COMET_PROJECT", "vdm4cdm-tpu"),
+                    experiment_name=config.experiment_name))
+            self.loggers = MultiLogger(*lgs)
         else:  # non-zero ranks stay silent (metrics are pmean'd-identical)
             self.loggers = MultiLogger()
         self.draw_figure = draw_figure
@@ -228,20 +237,15 @@ class Trainer:
         if agg:
             self.loggers.log_scalars(step, {k: float(np.mean(v)) for k, v in agg.items()})
         if self.draw_figure is not None and vb is not None:
-            if jax.process_count() > 1:
-                # rendering needs a host-gathered field; campaign generation
-                # is the multi-host sampling path. Say so visibly — a DCN run
-                # silently losing its main quality signal was round-2 VERDICT
-                # weak #7.
-                print(f"[trainer] step {step}: skipping validation figure on "
-                      f"multi-host run ({jax.process_count()} processes); use "
-                      "vdm4cdm-generate for sampled quality checks", flush=True)
-            else:
-                # sample with EMA weights when tracked — generation prefers
-                # EMA (checkpoint.load_params prefer_ema), so the in-training
-                # quality signal must look at the same weights.
-                fig_params = (state.ema_params if state.ema_params is not None
-                              else state.params)
-                fig = self.draw_figure(fig_params, vb, rngs.next())
-                if fig is not None:
-                    self.loggers.log_figure(step, "validation", fig)
+            # sample with EMA weights when tracked — generation prefers
+            # EMA (checkpoint.load_params prefer_ema), so the in-training
+            # quality signal must look at the same weights. On multi-host
+            # runs EVERY rank calls draw (its sampler + host-gather are
+            # collectives); the hook renders on rank 0 and returns None
+            # elsewhere (cli/_common._render) — the DCN run keeps its
+            # figures instead of dropping them.
+            fig_params = (state.ema_params if state.ema_params is not None
+                          else state.params)
+            fig = self.draw_figure(fig_params, vb, rngs.next())
+            if fig is not None:
+                self.loggers.log_figure(step, "validation", fig)
