@@ -13,7 +13,10 @@ Run on the TPU: python experiments/bench_conv2d.py
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -40,32 +43,43 @@ def main():
         w = jnp.asarray(0.1 * rng.standard_normal((3, 3, cin, cout)),
                         jnp.float32)
 
-        fwd = jax.jit(lambda x, w: conv_nd(x, w, padding_mode="circular"))
+        # in-loop data dependence through the carry (the platform's ~30 ms
+        # small-op dispatch floor swamps per-call timing; same pattern as
+        # experiments/microbench_ops.py), scalar-fetched once to sync
+        N_IT = 20
+
+        def dep(c, out):
+            return c + (1e-20 * jnp.mean(out.astype(jnp.float32))).astype(c.dtype)
 
         def loss(x, w):
             return jnp.sum(conv_nd(x, w, padding_mode="circular")
                            .astype(jnp.float32) ** 2)
 
-        step = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        fwd = jax.jit(lambda x, w: jax.lax.fori_loop(
+            0, N_IT,
+            lambda i, c: dep(c, conv_nd(c, w, padding_mode="circular")), x))
+        gfn = jax.grad(loss)
+        bwd = jax.jit(lambda x, w: jax.lax.fori_loop(
+            0, N_IT, lambda i, c: dep(c, gfn(c, w)), x))
 
-        def timeit(fn, *args, iters=8):
+        def timeit(fn, *args):
             out = fn(*args)
-            jax.block_until_ready(out)
+            float(out.ravel()[0])
             t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn(*args)
-            jax.block_until_ready(out)
-            return (time.perf_counter() - t0) / iters
+            out = fn(*args)
+            float(out.ravel()[0])
+            return (time.perf_counter() - t0) / N_IT
 
         t_f = timeit(fwd, x, w)
-        t_b = timeit(step, x, w)
+        t_b = timeit(bwd, x, w)
         flops_f = 2 * B * size * size * 9 * cin * cout
         rec = {
             "cin": cin, "cout": cout,
             "fwd_ms": round(t_f * 1e3, 3),
             "fwd_bwd_ms": round(t_b * 1e3, 3),
             "fwd_tflops": round(flops_f / t_f / 1e12, 2),
-            "bwd_tflops": round(3 * flops_f / t_b / 1e12, 2),
+            # grad wrt x only: fwd conv + dx conv = 2x fwd flops per iter
+            "bwd_tflops": round(2 * flops_f / t_b / 1e12, 2),
             "lane_fill_ceiling": min(1.0, cout / 128) if cout < 128 else 1.0,
         }
         results.append(rec)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vdm4cdm_tpu.cli._common import make_validation_figure_fn, unsharded_clone
 from vdm4cdm_tpu.config import build_datamodule, build_model
@@ -23,6 +24,7 @@ def test_unsharded_clone_strips_ctx():
     assert unsharded_clone(sfm).velocity_model.ctx.axis is None
 
 
+@pytest.mark.slow
 def test_figure_hook_renders():
     cfg = preset("smoke_vdm_2d")
     cfg.data.cropsize = 16

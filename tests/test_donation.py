@@ -17,6 +17,9 @@ from vdm4cdm_tpu.diffusion import VDM, make_schedule
 from vdm4cdm_tpu.models import CUNet
 from vdm4cdm_tpu.train import TrainState, make_optimizer, make_train_step
 
+# whole-file slow: builds flagship-sized jaxprs (round-4 VERDICT weak #4)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def lowered_step():

@@ -41,6 +41,7 @@ def _apply(packed_env, dropout=0.0, train=False, rngs=None,
 
 
 @pytest.mark.parametrize("padding", ["circular", "zeros"])
+@pytest.mark.slow
 def test_cunet_packed_matches_unpacked(padding):
     a, pa = _apply("0", padding=padding)
     b, pb = _apply("1", padding=padding)
@@ -48,6 +49,7 @@ def test_cunet_packed_matches_unpacked(padding):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cunet_packed_grads_match():
     def grad_of(packed_env):
         os.environ["VDM4CDM_PACKED"] = packed_env

@@ -145,6 +145,7 @@ class TestStochasticSampling:
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
 
 
+@pytest.mark.slow
 class TestSpatialConditioning:
     """The reference's SFM scripts build CUNet with s_conditioning_channels=1
     and feed x0 as a SPATIAL conditioning channel throughout the trajectory

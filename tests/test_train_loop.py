@@ -24,6 +24,7 @@ def tiny_cfg(tmp_path):
     )
 
 
+@pytest.mark.slow
 class TestTrainerVDM:
     def test_fit_and_resume(self, tiny_cfg):
         net = CUNet(shape=(1, 16, 16), chs=(8, 8, 8, 8), norm_groups=4,
@@ -65,6 +66,7 @@ class TestTrainerVDM:
         assert diffs[-1] < diffs[0], diffs
 
 
+@pytest.mark.slow
 class TestWarmStart:
     def test_params_load_across_runs(self, tiny_cfg):
         """Warm-starting a new run from another run's checkpoint (the
@@ -99,6 +101,7 @@ class TestWarmStart:
         assert int(state2.step) == 2
 
 
+@pytest.mark.slow
 class TestEMA:
     def test_ema_tracks_and_checkpoints(self, tiny_cfg):
         import dataclasses
@@ -129,6 +132,7 @@ class TestEMA:
         np.testing.assert_array_equal(le, e)
 
 
+@pytest.mark.slow
 class TestTrainerSFM:
     def test_fit(self, tiny_cfg):
         net = CUNet(shape=(1, 16, 16), chs=(8, 8, 8, 8), norm_groups=4,
@@ -194,6 +198,7 @@ class TestConfigAndPresets:
         cfg2 = ExperimentConfig.load(p)
         assert cfg2.to_dict() == cfg.to_dict()
 
+    @pytest.mark.slow
     def test_grf_smoke_preset_trains(self, tmp_path):
         cfg = preset("smoke_vdm_2d")
         cfg.run.max_steps = 10

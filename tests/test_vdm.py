@@ -152,6 +152,7 @@ class TestLoss:
         assert np.isfinite(float(g["gamma"]["b"]))
 
 
+@pytest.mark.slow
 class TestFlagshipConfigPath:
     def test_bf16_remat_grad(self):
         """The TPU-first training defaults (bf16 activations + ResBlock remat)

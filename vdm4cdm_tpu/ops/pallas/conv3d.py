@@ -139,15 +139,20 @@ def _geometry(D: int, H: int, W: int, C: int, Cout: int, itemsize: int = 2,
     return p, Wp, dT
 
 
-_EDGE_CACHE_ENV = _os.environ.get("VDM4CDM_CONV_EDGE_CACHE", "auto")
+_EDGE_CACHE_ENV = _os.environ.get("VDM4CDM_CONV_EDGE_CACHE", "0")
 
 
 def _use_edge_cache(dT: int, rows: int, O: int, Wp: int, p: int, C: int,
                     Cout: int, itemsize: int, stats: bool) -> bool:
-    """Per-slot edge-operand caching (see _fill_edge_cache): ON whenever the
-    extra ring scratch still fits the VMEM budget at the SAME dT — the cache
-    must never shrink the plane block (a smaller dT costs more than the
-    cached selects save). Env A/B: VDM4CDM_CONV_EDGE_CACHE=0|1|auto."""
+    """Per-slot edge-operand caching (see _fill_edge_cache) — measured and
+    kept OPT-IN OFF: at the flagship 128^3 step the cached variant benched
+    5.768 vs 6.053 Mvox/s back-to-back (-4.7%; the per-consume selects were
+    already hidden under the MXU pipeline, while the fills serialize at
+    DMA-wait time and the extra ring scratch raises Mosaic stack pressure —
+    the decoder dx kernel needed the scoped-vmem limit raised to compile).
+    Env A/B: VDM4CDM_CONV_EDGE_CACHE=0|1|auto ("auto": ON whenever the extra
+    ring scratch still fits the VMEM budget at the SAME dT — the cache must
+    never shrink the plane block)."""
     if _EDGE_CACHE_ENV == "0":
         return False
     if _EDGE_CACHE_ENV == "1":

@@ -114,8 +114,13 @@ PRESETS: dict[str, ExperimentConfig] = {
         # artifact is 0-4000 @ 3e-4 + auto-resume 4000-8000 @ 1.5e-4).
         # Retraining via tools/blessed_chain.sh reproduces an equivalent-
         # quality checkpoint, not a bit-equal one.
-        run=RunConfig(max_steps=8000, val_check_interval=2000,
-                      ckpt_every_steps=2000, learning_rate=2e-4),
+        # 20k steps + EMA(0.999): at 8k/no-EMA the sampler chain amplified
+        # the residual eps error to ~5.9x amplitude (round-5 calibration);
+        # the reverse chain's alpha_0/alpha_1 ~ 670x expansion makes sample
+        # amplitude exponentially sensitive to eps_hat convergence
+        run=RunConfig(max_steps=20000, val_check_interval=2000,
+                      ckpt_every_steps=2000, learning_rate=2e-4,
+                      ema_decay=0.999),
     ),
 }
 

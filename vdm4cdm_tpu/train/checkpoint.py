@@ -46,18 +46,36 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, state_template: TrainState, step: Optional[int] = None) -> Optional[TrainState]:
-        """Restore into the template's structure/shardings; None if no ckpt."""
+        """Restore into the template's structure/shardings; None if no ckpt.
+
+        A template carrying an EMA shadow restores cleanly from a checkpoint
+        saved WITHOUT one (EMA enabled mid-run on an existing run): the shadow
+        initializes from the restored params, matching what a fresh EMA at
+        that step would be."""
         if step is None:
             step = self.latest_step()
         if step is None:
             return None
         template = {"params": state_template.params,
                     "opt_state": state_template.opt_state}
-        if state_template.ema_params is not None:
+        want_ema = state_template.ema_params is not None
+        if want_ema:
             template["ema_params"] = state_template.ema_params
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
-        return TrainState(step, restored["params"], restored["opt_state"],
-                          restored.get("ema_params"))
+        try:
+            restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        except Exception:
+            if not want_ema:
+                raise
+            template.pop("ema_params")
+            restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        ema = restored.get("ema_params")
+        if want_ema and ema is None:
+            # REAL copies, not aliases: the donated train step may not see
+            # the same buffer twice in one state (identity tree.map returns
+            # the same jax.Arrays and the backend rejects the double
+            # donation with InvalidArgument)
+            ema = jax.tree.map(jax.numpy.copy, restored["params"])
+        return TrainState(step, restored["params"], restored["opt_state"], ema)
 
     def restore_params(self, params_template: Any, step: Optional[int] = None,
                        directory: Optional[str] = None):
