@@ -43,9 +43,15 @@ def main(argv=None):
     full = mgr.restore(step, args=ocp.args.StandardRestore())
     mgr.close()
 
-    payload = {"params": full["params"]}
+    import jax
+    import numpy as np
+
+    # host-portable artifact: numpy leaves carry no device/sharding metadata,
+    # so the committed checkpoint restores on ANY host (a TPU-saved tree
+    # records its device and orbax refuses to restore it on a CPU-only box)
+    payload = {"params": jax.tree.map(np.asarray, full["params"])}
     if "ema_params" in full:
-        payload["ema_params"] = full["ema_params"]
+        payload["ema_params"] = jax.tree.map(np.asarray, full["ema_params"])
 
     if os.path.isdir(dst):
         shutil.rmtree(dst)
